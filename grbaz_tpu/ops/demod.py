@@ -1,0 +1,133 @@
+"""Demodulation kernels: FM quadrature demod, power squelch, deemphasis.
+
+These are the stock-GNU-Radio halves of the reference's flagship WBFM
+chain (samples/RTL-FM.grc: freq_xlating_fir -> pwr_squelch ->
+quadrature_demod -> resampler -> audio; SURVEY.md §3.1). The reference
+relies on the host runtime for them; this framework supplies its own.
+
+All are block-vectorized: the only carried state is a scalar (previous
+sample / envelope), and first-order IIR recurrences run as associative
+scans (see ops.agc).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grbaz_tpu.core.block import Block
+from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.ops.agc import _affine_combine
+
+
+# ---------------------------------------------------------------------------
+# FM quadrature demod
+# ---------------------------------------------------------------------------
+
+def quadrature_demod(x: jax.Array, prev: jax.Array, gain) -> tuple:
+    """y[n] = gain * arg(x[n] * conj(x[n-1])); returns (y, last_sample)."""
+    shifted = jnp.concatenate([prev[None], x[:-1]])
+    prod = x * jnp.conj(shifted)
+    y = jnp.arctan2(prod.imag, prod.real).astype(jnp.float32) * gain
+    return y, x[-1]
+
+
+class QuadratureDemod(Block):
+    """FM discriminator. ``gain`` is typically fs/(2*pi*max_deviation)."""
+
+    def __init__(self, gain: float, name=None):
+        super().__init__(name)
+        self.gain0 = float(gain)
+
+    def init_state(self):
+        return dict(prev=np.complex64(1.0 + 0.0j))
+
+    def init_params(self):
+        return dict(gain=np.float32(self.gain0))
+
+    def apply(self, state, params, x: Stream):
+        y, last = quadrature_demod(x.data, state["prev"], params["gain"])
+        # Keep state coherent across partial blocks: hold prev if no valid data.
+        n = x.data.shape[0]
+        idx = jnp.clip(x.count - 1, 0, n - 1)
+        last = jnp.where(x.count > 0, x.data[idx], state["prev"])
+        return dict(prev=last), (x.like(y, count=x.count),)
+
+
+# ---------------------------------------------------------------------------
+# Power squelch
+# ---------------------------------------------------------------------------
+
+class PowerSquelch(Block):
+    """Single-pole smoothed-power squelch (gr pwr_squelch equivalent).
+
+    avg[n] = avg[n-1]*(1-alpha) + |x[n]|^2 * alpha; output is x where
+    avg >= threshold else 0. (Gate, not ramped — the reference chain uses
+    it to mute inter-station noise.)
+    """
+
+    def __init__(self, threshold_db: float, alpha: float = 1e-4, name=None):
+        super().__init__(name)
+        self.threshold0 = 10.0 ** (float(threshold_db) / 10.0)
+        self.alpha0 = float(alpha)
+
+    def init_state(self):
+        return dict(avg=np.float32(0.0))
+
+    def init_params(self):
+        return dict(threshold=np.float32(self.threshold0),
+                    alpha=np.float32(self.alpha0))
+
+    def apply(self, state, params, x: Stream):
+        p = (x.data.real * x.data.real + x.data.imag * x.data.imag) \
+            if jnp.iscomplexobj(x.data) else x.data * x.data
+        n = p.shape[0]
+        alpha = params["alpha"]
+        a = jnp.full((n,), 1.0 - alpha, jnp.float32)
+        b = p.astype(jnp.float32) * alpha
+        A, B = jax.lax.associative_scan(_affine_combine, (a, b))
+        avg = A * state["avg"] + B
+        gate = avg >= params["threshold"]
+        y = jnp.where(gate, x.data, jnp.zeros((), x.data.dtype))
+        return dict(avg=avg[-1]), (x.like(y, count=x.count),)
+
+
+# ---------------------------------------------------------------------------
+# FM deemphasis (single-pole IIR)
+# ---------------------------------------------------------------------------
+
+class FMDeemphasis(Block):
+    """Single-pole IIR deemphasis: y[n] = b*x[n] + a*y[n-1].
+
+    Bilinear-transformed RC network with time constant ``tau`` at
+    ``sample_rate`` (75 us US / 50 us EU).
+    """
+
+    def __init__(self, sample_rate: float, tau: float = 75e-6, name=None):
+        super().__init__(name)
+        # Bilinear transform of H(s) = 1/(1 + s*tau)
+        w_c = 1.0 / tau
+        w_ca = 2.0 * sample_rate * math.tan(w_c / (2.0 * sample_rate))
+        k = -w_ca / (2.0 * sample_rate)
+        z1 = -1.0
+        p1 = (1.0 + k) / (1.0 - k)
+        b0 = -k / (1.0 - k)
+        self.b = [b0, -z1 * b0]  # feedforward
+        self.a = p1  # feedback pole
+
+    def init_state(self):
+        return dict(y_prev=np.float32(0.0), x_prev=np.float32(0.0))
+
+    def apply(self, state, params, x: Stream):
+        xd = x.data.astype(jnp.float32)
+        x_sh = jnp.concatenate([state["x_prev"][None], xd[:-1]])
+        ff = self.b[0] * xd + self.b[1] * x_sh
+        n = xd.shape[0]
+        a = jnp.full((n,), self.a, jnp.float32)
+        A, B = jax.lax.associative_scan(_affine_combine, (a, ff))
+        y = A * state["y_prev"] + B
+        new_state = dict(y_prev=y[-1], x_prev=xd[-1])
+        return new_state, (x.like(y, count=x.count),)

@@ -1,0 +1,205 @@
+"""FIR filtering: decimating FIR and frequency-translating FIR.
+
+Replaces the host-GR blocks the reference's flagship chain is built on
+(``freq_xlating_fir_filter`` in samples/RTL-FM.grc; SURVEY.md §3.1), and
+the filtering halves of gr-baz's own DSP blocks.
+
+TPU-first formulation: a decimating FIR over a sample block is expressed
+as a *strided window matrix product* — the frame (history + block) is
+restructured into ``[N/D, T]`` windows with D|T static slices (no
+gather), then contracted against the tap vector. XLA fuses the
+restructuring; the contraction vectorizes on the VPU/MXU. The carry
+state is the last ``T-1`` samples (the filter tail) — exactly what a
+time-sharded multi-chip version exchanges as halo.
+
+Frequency translation is rotate-then-filter with the exact uint32 turn
+phase from ``ops.exact`` — phase-coherent forever, no f64.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grbaz_tpu.core.block import Block
+from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.ops import exact
+
+
+# ---------------------------------------------------------------------------
+# tap design (firdes equivalents, derived from first principles)
+# ---------------------------------------------------------------------------
+
+def _window(n: int, kind: str = "hamming") -> np.ndarray:
+    t = np.arange(n)
+    if kind == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * t / (n - 1))
+    if kind == "hann":
+        return 0.5 - 0.5 * np.cos(2 * np.pi * t / (n - 1))
+    if kind == "blackman":
+        return (0.42 - 0.5 * np.cos(2 * np.pi * t / (n - 1))
+                + 0.08 * np.cos(4 * np.pi * t / (n - 1)))
+    if kind == "blackmanharris":
+        return (0.35875 - 0.48829 * np.cos(2 * np.pi * t / (n - 1))
+                + 0.14128 * np.cos(4 * np.pi * t / (n - 1))
+                - 0.01168 * np.cos(6 * np.pi * t / (n - 1)))
+    if kind == "rect":
+        return np.ones(n)
+    raise ValueError(f"unknown window {kind}")
+
+
+def low_pass_taps(gain: float, sample_rate: float, cutoff: float,
+                  transition: float, window: str = "hamming") -> np.ndarray:
+    """Windowed-sinc lowpass (firdes.low_pass equivalent), unity DC gain."""
+    # Harris rule-of-thumb tap estimate for ~53 dB attenuation (hamming).
+    atten = {"hamming": 53.0, "hann": 44.0, "blackman": 74.0,
+             "blackmanharris": 92.0, "rect": 21.0}[window]
+    ntaps = int(atten * sample_rate / (22.0 * transition))
+    ntaps |= 1  # odd for symmetric linear phase
+    m = (ntaps - 1) // 2
+    t = np.arange(ntaps) - m
+    fc = cutoff / sample_rate
+    h = 2.0 * fc * np.sinc(2.0 * fc * t) * _window(ntaps, window)
+    h *= gain / np.sum(h)
+    return h.astype(np.float32)
+
+
+def band_pass_taps(gain: float, sample_rate: float, low: float, high: float,
+                   transition: float, window: str = "hamming") -> np.ndarray:
+    """Real band-pass via modulated lowpass."""
+    bw = (high - low) / 2.0
+    lp = low_pass_taps(1.0, sample_rate, bw, transition, window)
+    m = (len(lp) - 1) // 2
+    t = np.arange(len(lp)) - m
+    center = (low + high) / 2.0
+    h = lp * 2.0 * np.cos(2 * np.pi * center / sample_rate * t)
+    # normalize peak response at center frequency
+    w = 2 * np.pi * center / sample_rate
+    resp = np.abs(np.sum(h * np.exp(-1j * w * np.arange(len(h)))))
+    h *= gain / resp
+    return h.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# core kernels
+# ---------------------------------------------------------------------------
+
+def _strided_windows(frame: jax.Array, tpad: int, decim: int,
+                     n_out: int) -> jax.Array:
+    """windows[k, t] = frame[k*decim + t]; built from tpad/decim slices.
+
+    frame must have length >= (n_out-1)*decim + tpad.
+    """
+    parts = []
+    for m in range(tpad // decim):
+        seg = jax.lax.dynamic_slice_in_dim(frame, m * decim, n_out * decim)
+        parts.append(seg.reshape(n_out, decim))
+    return jnp.concatenate(parts, axis=1)
+
+
+def fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
+                       decim: int) -> jax.Array:
+    """Causal decimating FIR over a frame with Tpad-1 leading history.
+
+    y[k] = sum_j h[j] * x[k*decim - j], where x[0] is frame[Tpad-1] (the
+    first post-history sample). ``h_rev_pad`` is the reversed tap vector
+    left-padded with zeros to a multiple of ``decim``.
+    """
+    tpad = h_rev_pad.shape[0]
+    n_new = frame.shape[0] - (tpad - 1)
+    assert n_new % decim == 0, "block size must be a multiple of decim"
+    n_out = n_new // decim
+    if jnp.iscomplexobj(frame):
+        wr = _strided_windows(frame.real, tpad, decim, n_out)
+        wi = _strided_windows(frame.imag, tpad, decim, n_out)
+        h = h_rev_pad.astype(jnp.float32)
+        yr = wr @ h
+        yi = wi @ h
+        return jax.lax.complex(yr, yi)
+    w = _strided_windows(frame, tpad, decim, n_out)
+    return w @ h_rev_pad.astype(frame.dtype)
+
+
+def prepare_taps(taps: Sequence[float], decim: int) -> np.ndarray:
+    """Reverse and left-pad taps to a multiple of decim (see fir_decimate_frame)."""
+    h = np.asarray(taps, dtype=np.float32)
+    h_rev = h[::-1]
+    tpad = int(math.ceil(len(h) / decim)) * decim
+    pad = tpad - len(h)
+    return np.concatenate([np.zeros(pad, np.float32), h_rev])
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+class FIRDecimator(Block):
+    """Decimating FIR with carried filter tail. decim=1 gives a plain FIR."""
+
+    def __init__(self, taps, decim: int = 1, dtype=jnp.complex64, name=None):
+        super().__init__(name)
+        self.decim = int(decim)
+        self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
+        # it as a literal (no device constant fetch at trace time)
+        self.hist = self.h_rev_pad.shape[0] - 1
+        self.dtype = dtype
+
+    def init_state(self):
+        return dict(tail=np.zeros((self.hist,), self.dtype))
+
+    def apply(self, state, params, x: Stream):
+        frame = jnp.concatenate([state["tail"], x.data])
+        y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
+        new_state = dict(tail=frame[-self.hist:]) if self.hist else dict(tail=state["tail"])
+        out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
+        return new_state, (out,)
+
+
+class FreqXlatingFIRDecimator(Block):
+    """Frequency-translating decimating FIR (gr freq_xlating_fir_filter
+    equivalent): rotate the band at ``center_freq`` down to 0 with an
+    exact-phase LO, then lowpass+decimate with real taps.
+
+    ``center_freq`` is retunable at runtime via params (the phase
+    increment is a uint32; host-side conversion keeps full precision).
+    """
+
+    def __init__(self, taps, decim: int, center_freq: float, sample_rate: float,
+                 dtype=jnp.complex64, name=None):
+        super().__init__(name)
+        self.decim = int(decim)
+        self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
+        # it as a literal (no device constant fetch at trace time)
+        self.hist = self.h_rev_pad.shape[0] - 1
+        self.dtype = dtype
+        self.sample_rate = float(sample_rate)
+        self.center_freq0 = float(center_freq)
+
+    def init_state(self):
+        return dict(tail=np.zeros((self.hist,), self.dtype),
+                    phase=np.uint32(0))
+
+    def init_params(self):
+        return dict(lo_inc=exact.freq_to_turns_u32(
+            -self.center_freq0, self.sample_rate))
+
+    @staticmethod
+    def freq_params(center_freq: float, sample_rate: float):
+        """Host helper: params for retuning to a new center frequency."""
+        return dict(lo_inc=exact.freq_to_turns_u32(-center_freq, sample_rate))
+
+    def apply(self, state, params, x: Stream):
+        n = x.data.shape[0]
+        lo, phase_after = exact.oscillator(n, state["phase"], params["lo_inc"])
+        xr = x.data * lo
+        frame = jnp.concatenate([state["tail"], xr])
+        y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
+        new_state = dict(
+            tail=frame[-self.hist:] if self.hist else state["tail"],
+            phase=phase_after)
+        out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
+        return new_state, (out,)

@@ -1,0 +1,140 @@
+"""Arbitrary-ratio MMSE fractional resampler — vectorized, exact phase.
+
+Capability parity with ``baz_fractional_resampler_cc/_ff``
+(/root/reference/lib/baz_fractional_resampler_cc.cc):
+
+* arbitrary ratio > 0 with phase accumulator ``mu += mu_inc`` — here the
+  accumulator is *exact 32.32 fixed point* (``ops.exact``) instead of an
+  x87 long double, so infinite streams never drift;
+* exact rational ratio construction (``ratio_to_fixed``) and runtime ppb
+  ratio retuning (``ppb_to_fixed`` mirrors the reference's (int, frac)
+  ppb message, reference :115-141) as traced params — retune without
+  recompiling;
+* 8-tap MMSE interpolation (``ops.mmse`` — derived, not copied);
+* complex64 and float32 streams.
+
+Design departure (TPU-first): instead of a per-output-sample serial loop
+with dynamic ``consume()``, each call processes a *fixed-size* input
+block and produces a statically-bounded output block with a validity
+count. All output positions ``p_k = mu0 + k*inc`` are computed at once
+(exact integer ramp + carry recovery), the interpolation windows are one
+batched gather, and the whole thing is a handful of fused XLA ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grbaz_tpu.core.block import Block
+from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.ops import exact
+from grbaz_tpu.ops.mmse import CENTER, NSTEPS_LOG2, NTAPS, TAPS_TABLE
+
+HIST = NTAPS - 1
+
+
+def resample_block(frame: jax.Array, mu_int: jax.Array, mu_frac: jax.Array,
+                   inc_int: jax.Array, inc_frac: jax.Array, out_capacity: int,
+                   taps_table: jax.Array, n_valid=None):
+    """Resample one frame.
+
+    Args:
+      frame: ``[HIST + N]`` samples — HIST carried history + N new samples.
+        Output k interpolates at frame position ``mu + k*inc`` (+ CENTER
+        group delay), i.e. gathers ``frame[idx_k : idx_k + NTAPS]``.
+      mu_int / mu_frac: exact 32.32 start position (frame coords).
+      inc_int / inc_frac: exact 32.32 ratio (input samples per output).
+      out_capacity: static max outputs this call may produce.
+
+    Returns:
+      ``(y[out_capacity], n_out, new_mu_int, new_mu_frac)``. Valid
+      outputs are ``y[:n_out]``; the new mu is in next-frame coordinates
+      (the frame advances by N samples per call).
+    """
+    n_new = frame.shape[0] - HIST
+    if n_valid is None:
+        n_valid = jnp.int32(n_new)
+    # +1 so position n_out (the first output of the *next* frame) exists.
+    idx, frac = exact.fixed_positions(out_capacity + 1, mu_frac, inc_int, inc_frac)
+    idx = idx + mu_int
+    # Output k is computable iff its window fits: idx_k + NTAPS <= HIST + n_valid.
+    valid = idx[:out_capacity] <= n_valid - 1
+    n_out = jnp.sum(valid.astype(jnp.int32))
+
+    bins = exact.frac_to_phase_bin(frac[:out_capacity], NSTEPS_LOG2)
+    taps = jnp.asarray(taps_table)[bins]  # [cap, NTAPS] float32
+    base = jnp.clip(idx[:out_capacity], 0, n_new - 1)
+    win_idx = base[:, None] + jnp.arange(NTAPS, dtype=jnp.int32)[None, :]
+    windows = frame[win_idx]  # [cap, NTAPS]
+    if jnp.iscomplexobj(frame):
+        y = (jnp.sum(windows.real * taps, axis=1)
+             + 1j * jnp.sum(windows.imag * taps, axis=1)).astype(frame.dtype)
+    else:
+        y = jnp.sum(windows * taps, axis=1).astype(frame.dtype)
+    y = jnp.where(valid, y, jnp.zeros((), y.dtype))
+
+    new_mu_int = idx[n_out] - jnp.int32(n_new)
+    new_mu_frac = frac[n_out]
+    return y, n_out, new_mu_int, new_mu_frac
+
+
+class FractionalResampler(Block):
+    """Streaming block form. Ratio lives in ``params`` (retunable).
+
+    ``min_ratio`` bounds the static output capacity:
+    ``capacity = ceil(block_size / min_ratio) + 1``.
+    """
+
+    def __init__(self, block_size: int, ratio: float, *, min_ratio: float = None,
+                 dtype=jnp.complex64, phase_shift: float = 0.0, name=None):
+        super().__init__(name)
+        self.block_size = int(block_size)
+        self.dtype = dtype
+        self.ratio0 = float(ratio)
+        self.min_ratio = float(min_ratio if min_ratio is not None else min(ratio, 1.0) * 0.5)
+        self.capacity = int(math.ceil(self.block_size / self.min_ratio)) + 1
+        if not (0.0 <= phase_shift <= 1.0):
+            raise ValueError("phase shift must be in [0, 1]")
+        self.phase_shift = float(phase_shift)
+        self.taps_table = TAPS_TABLE  # numpy: embedded as literal at trace
+
+    def init_state(self):
+        # Start position HIST + phase_shift: the first output interpolates at
+        # the first *new* sample (+ mu), matching the reference's cold start.
+        frac = int(round(self.phase_shift * exact.TWO32))
+        ip = HIST + (1 if frac >= 2 ** 32 else 0)
+        frac = 0 if frac >= 2 ** 32 else frac
+        return dict(
+            tail=np.zeros((HIST,), self.dtype),
+            mu_int=np.int32(ip),
+            mu_frac=np.uint32(frac),
+        )
+
+    def init_params(self):
+        ip, fr = exact.ratio_to_fixed(self.ratio0)
+        return dict(inc_int=ip, inc_frac=fr)
+
+    @staticmethod
+    def ratio_params(ratio: float):
+        """Host helper: params dict for a new ratio (e.g. from a ppb message)."""
+        ip, fr = exact.ratio_to_fixed(ratio)
+        return dict(inc_int=ip, inc_frac=fr)
+
+    def apply(self, state, params, x: Stream):
+        if x.data.shape[0] != self.block_size:
+            raise ValueError(f"{self.name}: expected block of {self.block_size}, "
+                             f"got {x.data.shape[0]}")
+        frame = jnp.concatenate([state["tail"], x.data])
+        y, n_out, mu_int, mu_frac = resample_block(
+            frame, state["mu_int"], state["mu_frac"],
+            params["inc_int"], params["inc_frac"], self.capacity,
+            self.taps_table, n_valid=jnp.minimum(x.count, self.block_size))
+        new_state = dict(tail=frame[-HIST:], mu_int=mu_int, mu_frac=mu_frac)
+        out = x.like(y, count=n_out, rate_scale=1.0 / self.ratio0)
+        return new_state, (out,)
