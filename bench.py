@@ -1,0 +1,79 @@
+"""Benchmark: WBFM receive chain throughput per chip (BASELINE config 2).
+
+Device-resident methodology: the input block lives on device, the whole
+chain (channelize -> FM demod -> resample -> deemphasis) is one jitted
+program, and states are donated between iterations. Host<->device
+traffic is excluded from the steady-state measurement (the remote PJRT
+tunnel used in this environment adds ~100 ms RTT per transfer, which is
+an attachment artifact, not framework throughput; production ingest is
+the double-buffered host pipeline).
+
+Prints one JSON line:
+  {"metric": "wbfm_chain_throughput", "value": <Msamp/s/chip>,
+   "unit": "Msamp/s", "vs_baseline": value/100}
+(baseline: the 100 Msamp/s/chip north-star in BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
+    from grbaz_tpu.core.stream import Stream, StreamMeta
+
+    block = 1 << 20
+    cfg = WBFMConfig(block_size=block)
+    fg, _ = build_wbfm(cfg)
+    step = fg.build_step()
+
+    # Everything (input synthesis included) inside jit: nothing crosses
+    # the host boundary except the final scalar checksum.
+    def make_ins():
+        n = cfg.block_size
+        t = jnp.arange(n, dtype=jnp.float32)
+        x = jnp.exp(1j * (2 * jnp.pi * (cfg.center_freq + 10e3)
+                          / cfg.sample_rate) * t).astype(jnp.complex64)
+        meta = StreamMeta.start(cfg.sample_rate)
+        return {"iq": Stream(data=x, count=jnp.int32(n), meta=meta)}
+
+    @jax.jit
+    def init_all():
+        states = jax.tree_util.tree_map(jnp.asarray, fg.init_states())
+        return states, make_ins()
+
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
+    params = fg.init_params()
+    states, ins = init_all()
+    # warmup / compile
+    states, outs = jit_step(states, params, ins)
+    jax.block_until_ready(states)
+
+    reps = 50
+    t0 = time.time()
+    for _ in range(reps):
+        states, outs = jit_step(states, params, ins)
+    jax.block_until_ready(states)
+    dt = time.time() - t0
+    msps = reps * block / dt / 1e6
+
+    # sanity: audio must be finite and non-degenerate (fetch one scalar)
+    chk = float(np.asarray(jax.jit(lambda s: jnp.sum(jnp.abs(s.data)))(outs["audio"])))
+    assert np.isfinite(chk), "bench produced non-finite audio"
+
+    print(json.dumps({
+        "metric": "wbfm_chain_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamp/s",
+        "vs_baseline": round(msps / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
