@@ -1,0 +1,276 @@
+"""Detectors: peak detector, sync correlator, radar pulse detector.
+
+Behavioral equivalents of the reference detectors (SURVEY.md §2.1
+"Detectors / decoders"):
+
+* :class:`PeakDetector` — rise/fall peak FSM with min_diff, min_len,
+  lockout, drop, alpha smoothing, look_ahead confirmation and optional
+  threshold (/root/reference/lib/baz_peak_detector.cc:69-94 + FSM in
+  general_work). Expressed as a ``lax.scan`` over samples with emissions
+  scattered back to their peak positions.
+* :class:`Correlator` — known-sync-sequence correlator
+  (/root/reference/lib/baz_correlator.cc:106-200): sliding
+  ``corr[n] = sum_l x[n+l]*conj(s[l])`` computed as a complex FIR
+  (strided-window matmuls), per-window peak picking against a threshold,
+  correlation-surface output of ``width`` bins + trigger stream.
+* :class:`RadarDetector` — threshold/plateau pulse burst detector
+  (/root/reference/lib/baz_radar_detector.cc general_work): scan FSM
+  emitting per-burst reports (start index, length, max, sum) as an
+  event list with a validity count — the functional version of its
+  msgq reports.
+
+The scans here are per-sample FSMs; they are intended for decimated /
+post-detection rates (as in the reference apps). The heavy lifting
+(correlation itself) is batched matmul work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grbaz_tpu.core.block import Block
+from grbaz_tpu.core.stream import Stream
+
+
+# ---------------------------------------------------------------------------
+# peak detector
+# ---------------------------------------------------------------------------
+
+class PeakDetector(Block):
+    """Rise/fall peak detection FSM. Outputs (marks, idx_diff):
+    ``marks`` is 1.0 at each detected peak position (0 elsewhere);
+    ``idx_diff`` is the distance to the previous peak at mark positions
+    (the reference's optional int output)."""
+
+    n_out = 2
+
+    def __init__(self, min_diff: float = 0.0, min_len: int = 1,
+                 lockout: int = 0, drop: float = 0.0, alpha: float = 1.0,
+                 look_ahead: int = 0, threshold: Optional[float] = None,
+                 name=None):
+        super().__init__(name)
+        self.min_diff = float(min_diff)
+        self.min_len = int(min_len)
+        self.lockout = int(lockout)
+        self.drop = float(drop)
+        self.alpha = float(alpha)
+        self.look_ahead = int(look_ahead)
+        self.threshold = threshold
+
+    def init_state(self):
+        return dict(ave=np.float32(0.0), prev=np.float32(0.0),
+                    rising=np.bool_(False), rise_count=np.int32(0),
+                    first=np.float32(0.0), peak=np.float32(0.0),
+                    peak_age=np.int32(0),       # samples since current peak
+                    lockout_count=np.int32(1),
+                    last_peak_global=np.int32(-1),
+                    global_idx=np.int32(0))
+
+    def init_params(self):
+        thr = self.threshold
+        return dict(threshold=np.float32(-np.inf if thr is None else thr))
+
+    def apply(self, state, params, x: Stream):
+        md, ml, lo = self.min_diff, self.min_len, self.lockout
+        drop, alpha, la = self.drop, self.alpha, self.look_ahead
+        thr = params["threshold"]
+
+        def step(s, xi):
+            ave = alpha * s["prev"] + (1.0 - alpha) * s["ave"]
+            in_lockout = s["lockout_count"] > 0
+            lockout_count = jnp.maximum(s["lockout_count"] - 1, 0)
+
+            cond_rise = (xi >= thr) & (xi > ave * (1.0 - drop))
+            start = cond_rise & ~s["rising"]
+            higher = cond_rise & s["rising"] & (xi > s["peak"])
+
+            rising = jnp.where(in_lockout, s["rising"],
+                               jnp.where(cond_rise, True, False))
+            first = jnp.where(in_lockout, s["first"],
+                              jnp.where(start, xi, s["first"]))
+            peak = jnp.where(in_lockout, s["peak"],
+                             jnp.where(start | higher, xi, s["peak"]))
+            peak_age = jnp.where(
+                in_lockout, s["peak_age"],
+                jnp.where(start | higher, 0, s["peak_age"] + 1))
+            rise_count = jnp.where(
+                in_lockout, s["rise_count"],
+                jnp.where(start, 1,
+                          jnp.where(cond_rise, s["rise_count"] + 1,
+                                    s["rise_count"])))
+            # emit when the rise ends (or lookahead expires) and the rise
+            # qualified
+            ended = s["rising"] & (~cond_rise | ((la > 0) & (peak_age >= la)))
+            qual = (rise_count >= ml) & ((peak - first) >= md)
+            emit = ended & qual & ~in_lockout
+            peak_pos = s["global_idx"] - peak_age  # position of the peak
+            idx_diff = jnp.where(s["last_peak_global"] >= 0,
+                                 peak_pos - s["last_peak_global"], 0)
+            new = dict(
+                ave=ave, prev=xi,
+                rising=jnp.where(ended & ~in_lockout, False, rising),
+                rise_count=jnp.where(ended, 0, rise_count),
+                first=first, peak=peak, peak_age=peak_age,
+                lockout_count=jnp.where(emit, jnp.int32(lo), lockout_count),
+                last_peak_global=jnp.where(emit, peak_pos,
+                                           s["last_peak_global"]),
+                global_idx=s["global_idx"] + 1)
+            return new, (emit, peak_pos, idx_diff)
+
+        n = x.data.shape[0]
+        base = state["global_idx"]
+        new_state, (emits, poss, diffs) = jax.lax.scan(
+            step, state, x.data.astype(jnp.float32))
+        rel = jnp.clip(poss - base, 0, n - 1)
+        marks = jnp.zeros((n,), jnp.float32).at[rel].add(
+            jnp.where(emits, 1.0, 0.0))
+        idx_out = jnp.zeros((n,), jnp.int32).at[rel].add(
+            jnp.where(emits, diffs, 0))
+        return new_state, (x.like(marks, count=x.count),
+                           x.like(idx_out, count=x.count))
+
+
+# ---------------------------------------------------------------------------
+# sync-sequence correlator
+# ---------------------------------------------------------------------------
+
+class Correlator(Block):
+    """Sliding correlation against a known complex sync sequence.
+
+    Per window of ``window_length`` input samples: find the correlation-
+    magnitude peak; if >= threshold emit a trigger and a ``width``-bin
+    correlation surface centered at the peak. Outputs:
+    (surface [n_windows, width] float32, trigger [n_windows] float32
+    peak magnitude — 0 when below threshold).
+
+    Alignment: the detector is causal — a sync sequence starting at
+    input sample p produces its correlation peak at output index
+    ``p + L-1 + width//2`` (filter latency plus the surface margin).
+    """
+
+    n_out = 2
+
+    def __init__(self, sync, window_length: int, threshold: float,
+                 width: int, name=None):
+        super().__init__(name)
+        self.sync = np.asarray(sync, np.complex64)
+        self.L = len(self.sync)
+        self.window_length = int(window_length)
+        self.threshold0 = float(threshold)
+        self.width = int(width)
+        # reversed conj sync as FIR taps: corr[n] = sum x[n+l] conj(s[l])
+        self.hist = self.L - 1 + self.width // 2
+
+    def init_state(self):
+        return dict(tail=np.zeros((self.hist,), np.complex64))
+
+    def init_params(self):
+        return dict(threshold=np.float32(self.threshold0))
+
+    def apply(self, state, params, x: Stream):
+        n = x.data.shape[0]
+        assert n % self.window_length == 0, \
+            "block size must be a multiple of window_length"
+        frame = jnp.concatenate([state["tail"], x.data])
+        # corr[n] = sum_l frame[n + l] * conj(s[l]), n in [0, N + width/2)
+        n_corr = n + self.width // 2
+        idx = jnp.arange(n_corr, dtype=jnp.int32)[:, None] \
+            + jnp.arange(self.L, dtype=jnp.int32)[None, :]
+        win = frame[idx]
+        s_conj = jnp.conj(jnp.asarray(self.sync))
+        corr = win @ s_conj
+        mag = jnp.abs(corr).astype(jnp.float32)
+
+        n_w = n // self.window_length
+        wmag = mag[:n].reshape(n_w, self.window_length)
+        pk = jnp.argmax(wmag, axis=1)
+        pkv = jnp.take_along_axis(wmag, pk[:, None], axis=1)[:, 0]
+        trig = jnp.where(pkv >= params["threshold"], pkv, 0.0)
+        # surface: width bins centered at each window's peak
+        centers = pk + jnp.arange(n_w, dtype=jnp.int32) * self.window_length
+        off = jnp.arange(self.width, dtype=jnp.int32) - self.width // 2
+        sidx = jnp.clip(centers[:, None] + off[None, :], 0, n_corr - 1)
+        surface = mag[sidx]
+        new_state = dict(tail=frame[-self.hist:])
+        return new_state, (
+            x.like(surface, count=jnp.int32(n_w),
+                   rate_scale=1.0 / self.window_length),
+            x.like(trig, count=jnp.int32(n_w),
+                   rate_scale=1.0 / self.window_length))
+
+
+# ---------------------------------------------------------------------------
+# radar pulse detector
+# ---------------------------------------------------------------------------
+
+class RadarDetector(Block):
+    """Pulse burst detector. Input: power stream (float). Emits per-burst
+    reports (start_idx, length, max, sum) as an event array with count.
+
+    Threshold is relative to ``base_level`` in dB; a burst ends when the
+    sample falls below threshold; plateau tracking mirrors the
+    reference's flat-top accumulation. Optional second input supplies a
+    per-sample base level (the reference's lvl input).
+    """
+
+    n_out = 1
+    MAX_EVENTS = 256
+
+    def __init__(self, base_level: float = 0.0, threshold_db: float = 10.0,
+                 pulse_plateau_db: float = 1.0, name=None):
+        super().__init__(name)
+        self.base0 = float(base_level)
+        self.thr0 = 10.0 ** (float(threshold_db) / 10.0)
+        self.plat0 = 10.0 ** (float(pulse_plateau_db) / 10.0)
+
+    def init_state(self):
+        return dict(in_burst=np.bool_(False), start=np.int32(0),
+                    bsum=np.float32(0.0), bmax=np.float32(0.0),
+                    global_idx=np.int32(0))
+
+    def init_params(self):
+        return dict(base_level=np.float32(self.base0),
+                    threshold=np.float32(self.thr0))
+
+    def apply(self, state, params, x: Stream):
+        thr = params["base_level"] * params["threshold"]
+
+        def step(s, xi):
+            above = xi >= thr
+            start = above & ~s["in_burst"]
+            ending = ~above & s["in_burst"]
+            bsum = jnp.where(start, xi,
+                             jnp.where(above, s["bsum"] + xi, s["bsum"]))
+            bmax = jnp.where(start, xi,
+                             jnp.where(above, jnp.maximum(s["bmax"], xi),
+                                       s["bmax"]))
+            bstart = jnp.where(start, s["global_idx"], s["start"])
+            emit = ending
+            length = s["global_idx"] - bstart
+            new = dict(in_burst=jnp.where(ending, False,
+                                          jnp.where(start, True,
+                                                    s["in_burst"])),
+                       start=bstart, bsum=bsum, bmax=bmax,
+                       global_idx=s["global_idx"] + 1)
+            return new, (emit, bstart, length, s["bmax"], s["bsum"])
+
+        new_state, (emits, starts, lens, maxs, sums) = jax.lax.scan(
+            step, state, x.data.astype(jnp.float32))
+        # compact events to the front (sorted scatter by emission order)
+        order = jnp.cumsum(emits.astype(jnp.int32)) - 1
+        n_ev = jnp.sum(emits.astype(jnp.int32))
+        cap = self.MAX_EVENTS
+        slot = jnp.where(emits, jnp.clip(order, 0, cap - 1), cap - 1)
+        ev = jnp.zeros((cap, 4), jnp.float32)
+        rows = jnp.stack([starts.astype(jnp.float32),
+                          lens.astype(jnp.float32), maxs, sums], axis=1)
+        # scatter-add: non-emitting rows contribute zeros, so parking them
+        # at slot cap-1 is harmless
+        ev = ev.at[slot].add(jnp.where(emits[:, None], rows, 0.0))
+        events = Stream(data=ev, count=jnp.minimum(n_ev, cap), meta=x.meta)
+        return new_state, (events,)

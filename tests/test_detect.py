@@ -1,0 +1,99 @@
+"""Detectors: peak FSM, sync correlator, radar pulse reports."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.ops.detect import Correlator, PeakDetector, RadarDetector
+
+
+def run_blocks(block, x, block_size):
+    state, params = block.init_state(), block.init_params()
+    outs = [[] for _ in range(block.n_out)]
+    for i in range(0, len(x), block_size):
+        s = Stream.full(jnp.asarray(x[i:i + block_size]))
+        state, ys = block.apply(state, params, s)
+        for j, y in enumerate(ys):
+            outs[j].append((np.asarray(y.data), int(y.count)))
+    return outs
+
+
+def test_peak_detector_finds_pulses():
+    n = 4096
+    x = np.zeros(n, np.float32)
+    peaks_at = [500, 1500, 2500, 3500]
+    for p in peaks_at:
+        x[p - 3:p + 4] = np.array([0.2, 0.5, 0.8, 1.0, 0.8, 0.5, 0.2])
+    pd = PeakDetector(min_diff=0.5, min_len=2, lockout=10)
+    outs = run_blocks(pd, x, 1024)
+    marks = np.concatenate([d for d, c in outs[0]])
+    found = np.where(marks > 0)[0]
+    assert len(found) == len(peaks_at)
+    for f, p in zip(found, peaks_at):
+        assert abs(f - p) <= 1, (found, peaks_at)
+
+
+def test_peak_detector_lockout_suppresses():
+    n = 1024
+    x = np.zeros(n, np.float32)
+    ramp = np.array([0.3, 1.0], np.float32)  # rise of 0.7 > min_diff
+    x[100:102] = ramp
+    x[110:112] = ramp  # within lockout of the first
+    x[400:402] = ramp
+    pd = PeakDetector(min_diff=0.5, lockout=50)
+    outs = run_blocks(pd, x, 1024)
+    marks = np.concatenate([d for d, c in outs[0]])
+    found = np.where(marks > 0)[0]
+    assert len(found) == 2
+
+
+def test_peak_detector_block_invariance():
+    rng = np.random.default_rng(5)
+    x = np.abs(rng.standard_normal(8192)).astype(np.float32)
+    x[::700] += 5.0
+    pd1 = PeakDetector(min_diff=2.0, lockout=20)
+    pd2 = PeakDetector(min_diff=2.0, lockout=20)
+    m1 = np.concatenate([d for d, c in run_blocks(pd1, x, 1024)[0]])
+    m2 = np.concatenate([d for d, c in run_blocks(pd2, x, 8192)[0]])
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_correlator_finds_sync():
+    rng = np.random.default_rng(3)
+    L, W = 63, 512
+    sync = np.exp(2j * np.pi * rng.random(L)).astype(np.complex64)
+    n = W * 8
+    x = 0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    positions = [700, 2000, 3300]
+    for p in positions:
+        x[p:p + L] += sync
+    x = x.astype(np.complex64)
+    corr = Correlator(sync, window_length=W, threshold=L * 0.5, width=16)
+    outs = run_blocks(corr, x, n)
+    trig = outs[1][0][0]
+    hits = np.where(trig > 0)[0]
+    # causal latency: peak at p + L-1 + width//2 (see Correlator docs)
+    expect = sorted(set((p + L - 1 + 8) // W for p in positions))
+    assert sorted(hits.tolist()) == expect
+    # peak magnitudes ~ L (coherent sum)
+    assert np.all(trig[hits] > L * 0.8)
+    # surface center bin should be the peak
+    surf = outs[0][0][0]
+    for h in hits:
+        assert np.argmax(surf[h]) == 8  # width//2
+
+
+def test_radar_detector_reports_bursts():
+    n = 4096
+    x = np.full(n, 0.1, np.float32)
+    bursts = [(500, 40), (1500, 80), (3000, 25)]
+    for s, l in bursts:
+        x[s:s + l] = 2.0
+    rd = RadarDetector(base_level=0.1, threshold_db=10.0)
+    outs = run_blocks(rd, x, 4096)
+    ev, count = outs[0][0]
+    assert count == len(bursts)
+    for i, (s, l) in enumerate(bursts):
+        assert abs(ev[i, 0] - s) <= 1    # start
+        assert abs(ev[i, 1] - l) <= 1    # length
+        assert abs(ev[i, 2] - 2.0) < 1e-5  # max
