@@ -1,0 +1,207 @@
+"""Network plane loopback tests: UDP wire format, server verbs, client."""
+
+import socket
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from grbaz_tpu.core.stream import stream_flags
+from grbaz_tpu.net.borip_client import RemoteDevice
+from grbaz_tpu.net.borip_server import BorIPServer, DEFAULT_PORT
+from grbaz_tpu.net.udp import (BOR_HEADER, UDPSampleReceiver, UDPSampleSender,
+                               complex_to_ishort_bytes,
+                               ishort_bytes_to_complex)
+import threading
+
+
+def _wait(cond, timeout=5.0, dt=0.01):
+    t0 = time.monotonic()
+    while not cond():
+        if time.monotonic() - t0 > timeout:
+            return False
+        time.sleep(dt)
+    return True
+
+
+@pytest.fixture(params=["native", "python"])
+def impl(request):
+    return dict(force_python=request.param == "python")
+
+
+def test_udp_loopback_roundtrip(impl):
+    rx = UDPSampleReceiver(port=0, bor=True, **impl)
+    tx = UDPSampleSender("127.0.0.1", rx.port, bor=True, **impl)
+    x = (np.exp(2j * np.pi * 0.01 * np.arange(4096)) * 0.5).astype(np.complex64)
+    tx.send_complex(x)
+    assert _wait(lambda: rx.stats()["packets"] >= 12)
+    got, flags = rx.read_complex(len(x))
+    assert len(got) == len(x)
+    # i16 quantization only
+    assert np.max(np.abs(got - x)) < 2e-4
+    assert flags & stream_flags.STREAM_START
+    assert rx.stats()["dropped"] == 0
+    tx.close()
+    rx.close()
+
+
+def test_udp_wire_format_exact(impl):
+    """The BorIP header on the wire must be {u8 flags,u8 notif,u16 seq LE}."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(2.0)
+    port = sock.getsockname()[1]
+    tx = UDPSampleSender("127.0.0.1", port, bor=True, payload_size=64, **impl)
+    tx.send_bytes(b"\x11" * 100)  # 2 packets: 64 + 36
+    p1, _ = sock.recvfrom(2048)
+    p2, _ = sock.recvfrom(2048)
+    f1, n1, i1 = BOR_HEADER.unpack(p1[:4])
+    f2, n2, i2 = BOR_HEADER.unpack(p2[:4])
+    assert f1 & stream_flags.STREAM_START
+    assert i2 == (i1 + 1) & 0xFFFF
+    assert len(p1) == 4 + 64 and len(p2) == 4 + 36
+    assert p1[4:] == b"\x11" * 64
+    tx.close()
+    sock.close()
+
+
+def test_udp_drop_detection(impl):
+    """Skipping a seq number must raise dropped count + NETWORK_OVERRUN."""
+    rx = UDPSampleReceiver(port=0, bor=True, **impl)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    dest = ("127.0.0.1", rx.port)
+    payload = b"\x00" * 16
+    sock.sendto(BOR_HEADER.pack(stream_flags.STREAM_START, 0, 0) + payload, dest)
+    sock.sendto(BOR_HEADER.pack(0, 0, 1) + payload, dest)
+    sock.sendto(BOR_HEADER.pack(0, 0, 4) + payload, dest)  # 2,3 lost
+    assert _wait(lambda: rx.stats()["packets"] >= 3)
+    data, flags = rx.read_bytes(4096)
+    assert rx.stats()["dropped"] == 2
+    assert flags & stream_flags.NETWORK_OVERRUN
+    rx.close()
+    sock.close()
+
+
+def test_ishort_conversion_roundtrip():
+    x = (np.random.default_rng(0).standard_normal(256)
+         + 1j * np.random.default_rng(1).standard_normal(256)).astype(np.complex64)
+    x = np.clip(x.real, -1, 1) + 1j * np.clip(x.imag, -1, 1)
+    x = x.astype(np.complex64)
+    back = ishort_bytes_to_complex(complex_to_ishort_bytes(x))
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+@pytest.fixture
+def server():
+    srv = BorIPServer(("127.0.0.1", 0))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_server_verbs_and_streaming(server):
+    dev = RemoteDevice("127.0.0.1", server.port, udp_port=0, keepalive=False)
+    info = dev.select_device("synth tone_offset=5000 rate=100000 realtime=0")
+    assert info["name"] == "Synthetic"
+    assert info["serial"] == "SYN0001"
+    assert info["gain_max"] == 30.0
+    # control verbs
+    assert dev.set_freq(1.234e6)
+    assert dev.set_gain(10.0)
+    rate = dev.set_sample_rate(100e3)
+    assert rate == 100e3
+    assert dev.set_antenna("SYNTH")
+    assert dev.command("PING").startswith("PONG")
+    # unknown verb
+    assert dev.command("BOGUS") == "UNKNOWN"
+    # start the sample plane and pull samples
+    assert dev.start()
+    x = dev.wait_samples(16384, timeout=10.0)
+    # the tone must be present at 5 kHz / 100 kHz = 0.05
+    spec = np.abs(np.fft.fft(x * np.hanning(len(x))))
+    f = np.argmax(spec) / len(x)
+    assert abs(f - 0.05) < 1e-3
+    dev.stop()
+    dev.close()
+
+
+def test_server_verbs_without_device(server):
+    dev = RemoteDevice("127.0.0.1", server.port, udp_port=0, keepalive=False)
+    # no device selected: control verbs answer DEVICE
+    assert dev.command("FREQ 1e6") == "DEVICE"
+    assert dev.command("GO") == "DEVICE"
+    # DEVICE with bad hint reports failure, connection stays up
+    resp = dev.command("DEVICE nosuchdevice")
+    assert resp.startswith("-")
+    assert dev.command("PING").startswith("PONG")
+    dev.close()
+
+
+def test_server_device_teardown_on_disconnect(server):
+    dev = RemoteDevice("127.0.0.1", server.port, udp_port=0, keepalive=False)
+    dev.select_device("synth realtime=0")
+    dev.start()
+    dev.close()
+    # server must keep accepting new clients after abrupt disconnect
+    dev2 = RemoteDevice("127.0.0.1", server.port, udp_port=0, keepalive=False)
+    assert dev2.command("PING").startswith("PONG")
+    dev2.close()
+
+
+def test_tcp_frames_with_tags():
+    from grbaz_tpu.net.tcp import TCPFrameSink, TCPFrameSource
+    src = TCPFrameSource(port=0, dtype=np.complex64)
+    sink = TCPFrameSink("127.0.0.1", src.port)
+    x1 = (np.arange(100) + 1j).astype(np.complex64)
+    x2 = (np.arange(50) * 2.0).astype(np.complex64)
+    assert sink.send_samples(x1, tags=[{"offset": 0, "key": "rx_time",
+                                        "value": [12, 0.5]}])
+    assert sink.send_samples(x2)
+    sink.end_stream()
+
+    def drain():
+        frames = []
+        t0 = time.monotonic()
+        while len(frames) < 2 and time.monotonic() - t0 < 5:
+            d, tags = src.read()
+            if len(d):
+                frames.append((d, tags))
+            else:
+                time.sleep(0.01)
+        return frames
+
+    frames = drain()
+    assert len(frames) == 2
+    d1, t1 = frames[0]
+    np.testing.assert_array_equal(d1, x1)
+    assert t1[0]["key"] == "rx_time" and t1[0]["value"] == [12, 0.5]
+    d2, t2 = frames[1]
+    np.testing.assert_array_equal(d2, x2)
+    assert t2 == []
+    assert _wait(lambda: src.stream_ended())
+    sink.close()
+    src.close()
+
+
+def test_tcp_source_accepts_reconnect():
+    from grbaz_tpu.net.tcp import TCPFrameSink, TCPFrameSource
+    src = TCPFrameSource(port=0, dtype=np.float32)
+    s1 = TCPFrameSink("127.0.0.1", src.port)
+    s1.send_samples(np.ones(10, np.float32))
+    s1.close()
+    time.sleep(0.3)
+    s2 = TCPFrameSink("127.0.0.1", src.port)  # second client after first left
+    s2.send_samples(np.full(5, 2.0, np.float32))
+    t0 = time.monotonic()
+    seen = []
+    while len(seen) < 2 and time.monotonic() - t0 < 5:
+        d, _ = src.read()
+        if len(d):
+            seen.append(d)
+        time.sleep(0.01)
+    assert len(seen) == 2
+    np.testing.assert_array_equal(seen[1], np.full(5, 2.0, np.float32))
+    s2.close()
+    src.close()
