@@ -1,0 +1,315 @@
+"""Burst / timing machinery: gate, burster, burst buffer, merge, timekeeper.
+
+The reference's tag-driven burst system (SURVEY.md §3.3): ``rx_time``
+tags track hardware time, ``baz_gate`` extracts threshold-triggered
+bursts and stamps ``tx_sob``/``tx_time``/``tx_eob`` for timed retransmit,
+``baz_burster`` assembles interval/trigger bursts, ``baz_merge``
+schedules burst streams into a main timeline, ``baz_time_keeper`` tracks
+absolute stream time.
+
+Here, stream tags become *event arrays*: fixed-capacity ``[cap, fields]``
+float32 rows with a validity count, travelling through the graph like
+any other stream. Burst timing is computed from the exact 64-bit sample
+counters in :class:`StreamMeta` (no tag scanning). Each event row
+carries the burst's absolute start expressed as
+``(abs_hi, abs_lo, length, ...)`` so a TX scheduler (the merge block or
+a hardware frontend) can place it sample-exactly — the tx_time
+machinery without PMT.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from grbaz_tpu.core.block import Block
+from grbaz_tpu.core.stream import Stream, StreamMeta, limbs_add
+
+
+def _event_pack(emits, rows, cap):
+    """Compact per-sample event rows [n, F] into [cap, F] + count."""
+    pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
+    slot = jnp.where(emits, jnp.clip(pos, 0, cap - 1), cap - 1)
+    out = jnp.zeros((cap, rows.shape[1]), rows.dtype).at[slot].add(
+        jnp.where(emits[:, None], rows, 0))
+    return out, jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
+
+
+class TimeKeeper(Block):
+    """Absolute stream-time tracker (baz_time_keeper,
+    /root/reference/lib/baz_time_keeper.cc:79,118-155).
+
+    The reference scans rx_time tags; here time is exact in StreamMeta.
+    Outputs the input unchanged plus a per-block time report event
+    [abs_hi, abs_lo, epoch_sec, epoch_frac, sample_rate]. ``offset``
+    param mirrors set-time corrections (seconds added to reports).
+    """
+
+    n_out = 2
+
+    def __init__(self, name=None):
+        super().__init__(name)
+
+    def init_params(self):
+        return dict(offset=np.float32(0.0))
+
+    def apply(self, state, params, x: Stream):
+        m = x.meta
+        report = jnp.stack([
+            m.abs_hi.astype(jnp.float32), m.abs_lo.astype(jnp.float32),
+            m.epoch_sec.astype(jnp.float32) + params["offset"],
+            m.epoch_frac, jnp.float32(m.sample_rate)])[None, :]
+        return state, (x, Stream(report, jnp.int32(1), m))
+
+
+class Gate(Block):
+    """Threshold/byte-triggered burst gate (baz_gate,
+    /root/reference/lib/baz_gate.cc:147-238 behaviorally).
+
+    Inputs: (signal, trigger). A burst opens when trigger exceeds
+    ``threshold`` (float mode) or is nonzero (byte mode), stays open
+    while retriggered within ``trigger_length`` samples, and closes
+    after. Outputs:
+      0. gated signal (zeros outside bursts),
+      1. burst events [cap, 4]: (start_abs_hi, start_abs_lo, length,
+         trigger_peak) — start includes ``delay`` samples, the tx_time
+         stamp for retransmission.
+    """
+
+    n_in = 2
+    n_out = 2
+    MAX_BURSTS = 64
+
+    def __init__(self, threshold: float = 0.0, trigger_length: int = 0,
+                 delay_samples: int = 0, byte_trigger: bool = False,
+                 retriggerable: bool = True, name=None):
+        super().__init__(name)
+        self.threshold0 = float(threshold)
+        self.trigger_length = int(trigger_length)
+        self.delay = int(delay_samples)
+        self.byte_trigger = bool(byte_trigger)
+        self.retriggerable = bool(retriggerable)
+
+    def init_state(self):
+        return dict(open_count=np.int32(0),     # samples left in burst
+                    in_burst=np.bool_(False),
+                    burst_start_rel=np.int32(0),  # vs block base (may be <0)
+                    peak=np.float32(0.0))
+
+    def init_params(self):
+        return dict(threshold=np.float32(self.threshold0),
+                    trigger_length=np.int32(max(self.trigger_length, 1)))
+
+    def apply(self, state, params, x: Stream, trig: Stream):
+        if self.byte_trigger:
+            fire = trig.data.astype(jnp.int32) != 0
+        else:
+            fire = trig.data.astype(jnp.float32) > params["threshold"]
+        tl = params["trigger_length"]
+        retrig = self.retriggerable
+
+        def step(s, args):
+            i, f, lvl = args
+            opening = f & ~s["in_burst"]
+            extend = f & s["in_burst"] & retrig
+            oc = jnp.where(opening | extend, tl,
+                           jnp.maximum(s["open_count"] - 1, 0))
+            in_burst = oc > 0
+            closing = s["in_burst"] & ~in_burst
+            new = dict(
+                open_count=oc,
+                in_burst=in_burst,
+                burst_start_rel=jnp.where(opening, i, s["burst_start_rel"]),
+                peak=jnp.where(opening, lvl,
+                               jnp.where(f, jnp.maximum(s["peak"], lvl),
+                                         jnp.where(closing, 0.0, s["peak"]))))
+            length = i - s["burst_start_rel"]
+            return new, (in_burst | s["in_burst"], closing, length, s["peak"],
+                         s["burst_start_rel"])
+
+        n = x.data.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        lvl = trig.data.astype(jnp.float32)
+        new_state, (gate_open, closings, lengths, peaks, starts) = \
+            jax.lax.scan(step, state, (idx, fire, lvl))
+        y = jnp.where(gate_open, x.data, jnp.zeros((), x.data.dtype))
+
+        # burst events: absolute start = meta.abs + start_rel + delay
+        lo, hi = limbs_add(x.meta.abs_lo, x.meta.abs_hi,
+                           jnp.uint32(self.delay))
+        start_lo = lo.astype(jnp.float32) + starts.astype(jnp.float32)
+        rows = jnp.stack([
+            jnp.full((n,), hi.astype(jnp.float32)),
+            start_lo, lengths.astype(jnp.float32), peaks], axis=1)
+        events, n_ev = _event_pack(closings, rows, self.MAX_BURSTS)
+        return new_state, (x.like(y, count=x.count),
+                           Stream(events, n_ev, x.meta))
+
+
+class BurstTagger(Block):
+    """Trigger marks -> (sob_marks, eob_marks) streams, ``length`` apart
+    (baz_burst_tagger: maps a trigger tag to tx_sob/tx_eob pairs,
+    /root/reference/lib/baz_burst_tagger_impl.cc:70-84)."""
+
+    n_in = 1
+    n_out = 2
+
+    def __init__(self, length: int, name=None):
+        super().__init__(name)
+        self.length = int(length)
+
+    def init_state(self):
+        return dict(pending_eob=np.int32(-1))  # rel index into next block
+
+    def apply(self, state, params, x: Stream):
+        n = x.data.shape[0]
+        marks = x.data.astype(jnp.int32) != 0
+        sob = marks.astype(jnp.uint8)
+        eob_pos = jnp.where(marks, jnp.arange(n, dtype=jnp.int32)
+                            + self.length - 1, -1)
+        eob = jnp.zeros((n,), jnp.uint8)
+        in_range = (eob_pos >= 0) & (eob_pos < n)
+        eob = eob.at[jnp.clip(eob_pos, 0, n - 1)].add(
+            in_range.astype(jnp.uint8))
+        # carry an eob that lands beyond this block
+        pend = state["pending_eob"]
+        eob = eob.at[jnp.clip(pend, 0, n - 1)].add(
+            ((pend >= 0) & (pend < n)).astype(jnp.uint8))
+        over = jnp.where(eob_pos >= n, eob_pos - n, -1)
+        new_pend = jnp.max(over)  # at most one per block in practice
+        return dict(pending_eob=new_pend), (
+            x.like(sob, count=x.count), x.like(eob, count=x.count))
+
+
+class BurstBuffer(Block):
+    """Accumulate a trigger-delimited burst, emit it as one frame
+    (baz_burst_buffer semantics: buffer a complete burst then emit it
+    contiguously). Inputs (signal, sob_marks, eob_marks); output frames
+    [MAX_BURSTS, max_len] with per-frame lengths."""
+
+    n_in = 3
+    n_out = 2
+    MAX_BURSTS = 16
+
+    def __init__(self, max_len: int, dtype=jnp.complex64, name=None):
+        super().__init__(name)
+        self.max_len = int(max_len)
+        self.dtype = dtype
+
+    def init_state(self):
+        return dict(buf=np.zeros((self.max_len,), self.dtype),
+                    fill=np.int32(0), active=np.bool_(False))
+
+    def apply(self, state, params, x: Stream, sob: Stream, eob: Stream):
+        ml = self.max_len
+
+        def step(s, args):
+            xi, so, eo = args
+            start = (so != 0) & ~s["active"]
+            active = s["active"] | start
+            fill = jnp.where(start, 0, s["fill"])
+            buf = jnp.where(
+                active,
+                s["buf"].at[jnp.clip(fill, 0, ml - 1)].set(xi), s["buf"])
+            fill = jnp.where(active, jnp.minimum(fill + 1, ml), fill)
+            emit = active & ((eo != 0) | (fill >= ml))
+            new = dict(buf=jnp.where(emit, jnp.zeros_like(buf), buf),
+                       fill=jnp.where(emit, 0, fill),
+                       active=active & ~emit)
+            return new, (emit, buf, fill)
+
+        new_state, (emits, bufs, fills) = jax.lax.scan(
+            step, state, (x.data, sob.data.astype(jnp.int32),
+                          eob.data.astype(jnp.int32)))
+        cap = self.MAX_BURSTS
+        pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
+        slot = jnp.where(emits, jnp.clip(pos, 0, cap - 1), cap - 1)
+        frames = jnp.zeros((cap, ml), x.data.dtype).at[slot].add(
+            jnp.where(emits[:, None], bufs, 0))
+        lens = jnp.zeros((cap,), jnp.int32).at[slot].add(
+            jnp.where(emits, fills, 0))
+        n_b = jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
+        return new_state, (Stream(frames, n_b, x.meta),
+                           Stream(lens, n_b, x.meta))
+
+
+class Merge(Block):
+    """Schedule burst frames into the main sample timeline by absolute
+    time (baz_merge, /root/reference/lib/baz_merge.cc:101,172: merges a
+    main stream with burst streams, placing bursts at tx_time-style
+    stamps).
+
+    Inputs: (main, burst_frames [cap, L], burst_starts_lo [cap] — the
+    low 32 bits of each burst's absolute start sample). Bursts whose
+    span intersects the current block are added into it (adds, so
+    overlapping bursts sum — drop-residual handling simplified to
+    clipping at block edges; a burst spanning a boundary contributes to
+    both blocks via its absolute placement).
+    """
+
+    n_in = 3
+    n_out = 1
+
+    def __init__(self, max_burst_len: int, name=None):
+        super().__init__(name)
+        self.max_burst_len = int(max_burst_len)
+
+    def apply(self, state, params, main: Stream, bursts: Stream,
+              starts: Stream):
+        n = main.data.shape[0]
+        base = main.meta.abs_lo  # low limb is exact for placement windows
+        cap, L = bursts.data.shape
+        # relative start of each burst within this block (wrap-aware)
+        rel = (starts.data.astype(jnp.uint32) - base).astype(jnp.int32)
+        valid = (jnp.arange(cap) < bursts.count)[:, None]
+        offs = rel[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+        in_blk = (offs >= 0) & (offs < n) & valid
+        flat_idx = jnp.clip(offs, 0, n - 1).reshape(-1)
+        contrib = jnp.where(in_blk, bursts.data,
+                            jnp.zeros((), bursts.data.dtype)).reshape(-1)
+        y = main.data.at[flat_idx].add(contrib)
+        return state, (main.like(y, count=main.count),)
+
+
+class Sweep(Block):
+    """Frequency-sweep ramp source (baz_sweep,
+    /root/reference/lib/baz_sweep.cc:96-129): emits a float frequency
+    ramp from current value toward ``target`` at ``rate`` Hz/s, then
+    holds. Drives tuners / freq-xlating params. Params are retunable
+    (the sweep() call)."""
+
+    n_in = 1  # pacing input (any stream; only counts/rate are used)
+    n_out = 1
+
+    def __init__(self, start: float = 0.0, name=None):
+        super().__init__(name)
+        self.start0 = float(start)
+
+    def init_state(self):
+        return dict(current=np.float32(self.start0))
+
+    def init_params(self):
+        return dict(target=np.float32(self.start0), rate=np.float32(0.0))
+
+    def apply(self, state, params, x: Stream):
+        n = x.data.shape[0]
+        step = params["rate"] / jnp.float32(x.meta.sample_rate)
+        k = jnp.arange(1, n + 1, dtype=jnp.float32)
+        up = jnp.minimum(state["current"] + k * step, params["target"])
+        down = jnp.maximum(state["current"] - k * step, params["target"])
+        ramp = jnp.where(params["target"] >= state["current"], up, down)
+        return dict(current=ramp[-1]), (x.like(ramp, count=x.count),)
+
+
+class NonBlocker(Block):
+    """Real-time decoupler (baz_non_blocker,
+    /root/reference/lib/baz_non_blocker.cc:87-131): emits full blocks
+    regardless of input validity, zero-filling the shortfall, so
+    downstream real-time sinks never stall."""
+
+    def apply(self, state, params, x: Stream):
+        y = x.masked_data()
+        return state, (Stream(y, jnp.int32(x.data.shape[0]), x.meta),)

@@ -1,0 +1,146 @@
+"""Burst/timing machinery: gate, tagger, buffer, merge, sweep, rate sync."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grbaz_tpu.core.stream import Stream, StreamMeta
+from grbaz_tpu.net.rate_synchroniser import RateSynchroniser
+from grbaz_tpu.ops.burst import (BurstBuffer, BurstTagger, Gate, Merge,
+                                 NonBlocker, Sweep, TimeKeeper)
+from grbaz_tpu.ops.resampler import FractionalResampler
+
+
+def stream(x, rate=1.0, abs_index=0):
+    return Stream.full(jnp.asarray(x),
+                       meta=StreamMeta.start(rate, abs_index=abs_index))
+
+
+def test_gate_extracts_bursts():
+    n = 2048
+    sig = np.arange(n, dtype=np.float32)
+    trig = np.zeros(n, np.float32)
+    trig[100:120] = 1.0   # burst 1
+    trig[900:905] = 1.0   # burst 2
+    g = Gate(threshold=0.5, trigger_length=10)
+    state, (y, ev) = g.apply(g.init_state(), g.init_params(),
+                             stream(sig), stream(trig))
+    out = np.asarray(y.data)
+    # gated: signal passes during bursts (trigger span + trigger_length tail)
+    assert out[100] == 100 and out[119] == 119
+    assert out[50] == 0 and out[500] == 0
+    assert out[900] == 900
+    nev = int(ev.count)
+    assert nev == 2
+    rows = np.asarray(ev.data)
+    assert abs(rows[0, 1] - 100) <= 1     # start_lo of burst 1
+    assert 20 <= rows[0, 2] <= 32         # length ~ 20 + trigger_length
+    assert abs(rows[1, 1] - 900) <= 1
+
+
+def test_gate_delay_stamps_tx_time():
+    n = 512
+    trig = np.zeros(n, np.float32)
+    trig[50] = 1.0
+    g = Gate(threshold=0.5, trigger_length=4, delay_samples=1000)
+    state, (y, ev) = g.apply(g.init_state(), g.init_params(),
+                             stream(np.ones(n, np.float32), abs_index=5000),
+                             stream(trig))
+    rows = np.asarray(ev.data)
+    assert int(ev.count) == 1
+    # absolute start = 5000 (block base) + 50 (rel) + 1000 (delay)
+    assert abs(rows[0, 1] - 6050) <= 1
+
+
+def test_burst_tagger_and_buffer_roundtrip():
+    n = 1024
+    marks = np.zeros(n, np.uint8)
+    marks[[100, 400]] = 1
+    bt = BurstTagger(length=32)
+    st, (sob, eob) = bt.apply(bt.init_state(), None, stream(marks))
+    sob_np, eob_np = np.asarray(sob.data), np.asarray(eob.data)
+    assert sob_np[100] == 1 and eob_np[131] == 1
+    assert sob_np[400] == 1 and eob_np[431] == 1
+
+    sig = np.arange(n, dtype=np.float32)
+    bb = BurstBuffer(max_len=64, dtype=jnp.float32)
+    st2, (frames, lens) = bb.apply(bb.init_state(), None, stream(sig),
+                                   sob, eob)
+    assert int(frames.count) == 2
+    f = np.asarray(frames.data)
+    l = np.asarray(lens.data)
+    assert l[0] == 32 and l[1] == 32
+    np.testing.assert_array_equal(f[0, :32], np.arange(100, 132))
+    np.testing.assert_array_equal(f[1, :32], np.arange(400, 432))
+
+
+def test_merge_places_bursts_by_abs_time():
+    n = 1024
+    main = np.zeros(n, np.float32)
+    frames = np.zeros((8, 16), np.float32)
+    frames[0] = 1.0
+    frames[1] = 2.0
+    starts = np.zeros(8, np.uint32)
+    starts[0] = 5000 + 100       # lands at rel 100
+    starts[1] = 5000 + 1020      # straddles the end: clipped
+    m = Merge(max_burst_len=16)
+    bursts = Stream(jnp.asarray(frames), jnp.int32(2),
+                    StreamMeta.start(1.0))
+    sts = Stream(jnp.asarray(starts), jnp.int32(2), StreamMeta.start(1.0))
+    st, (y,) = m.apply(None, None, stream(main, abs_index=5000), bursts, sts)
+    out = np.asarray(y.data)
+    assert np.all(out[100:116] == 1.0)
+    assert np.all(out[1020:] == 2.0) and out[1019] == 0.0
+
+
+def test_sweep_ramps_and_holds():
+    sw = Sweep(start=0.0)
+    params = dict(target=np.float32(100.0), rate=np.float32(1000.0))
+    pace = stream(np.zeros(512, np.float32), rate=1000.0)  # 1 Hz/sample
+    state = sw.init_state()
+    state, (r1,) = sw.apply(state, params, pace)
+    v1 = np.asarray(r1.data)
+    assert abs(v1[0] - 1.0) < 1e-4 and abs(v1[98] - 99.0) < 1e-3
+    assert np.all(v1[99:] <= 100.0 + 1e-4) and abs(v1[-1] - 100.0) < 1e-4
+    # holds at target on the next block
+    state, (r2,) = sw.apply(state, params, pace)
+    assert np.all(np.abs(np.asarray(r2.data) - 100.0) < 1e-4)
+
+
+def test_non_blocker_zero_fills():
+    nb = NonBlocker()
+    s = Stream(jnp.asarray(np.ones(256, np.float32)), jnp.int32(100),
+               StreamMeta.start(1.0))
+    st, (y,) = nb.apply(None, None, s)
+    out = np.asarray(y.data)
+    assert int(y.count) == 256
+    assert np.all(out[:100] == 1.0) and np.all(out[100:] == 0.0)
+
+
+def test_timekeeper_reports_time():
+    tk = TimeKeeper()
+    s = stream(np.zeros(64, np.float32), rate=48000.0, abs_index=96000)
+    st, (passthru, rep) = tk.apply(tk.init_state(), tk.init_params(), s)
+    r = np.asarray(rep.data)[0]
+    assert r[1] == 96000 and r[4] == 48000.0
+
+
+def test_rate_synchroniser_locks_and_corrects():
+    rs = RateSynchroniser(target_period=100.0, base_ratio=5.0,
+                          alpha=0.3, lock_window=8, lock_sd=1e-3)
+    # stream runs 0.1% fast: measured period 100.1
+    updates = 0
+    for _ in range(50):
+        p = rs.feed(100.1)
+        if p is not None:
+            updates += 1
+    assert rs.locked
+    assert updates < 50  # corrections stop after lock
+    ip, fp = rs.ppb()
+    assert abs((ip + fp) / 1e9 - 5.005) < 1e-3
+    # params are exact fixed-point for the resampler
+    pr = rs.params()
+    assert "inc_int" in pr and "inc_frac" in pr
+    # glitch rejection
+    before = rs.ewma
+    rs.feed(200.0)
+    assert rs.ewma == before
