@@ -1,0 +1,192 @@
+"""RTL2832-class SDR source — Python face of the native driver stack.
+
+The equivalent of ``baz_rtl_source_c``
+(/root/reference/lib/baz_rtl_source_c.h:68-243): wraps the native demod
+driver (grbaz_tpu/native/rtlsdr_core.cc — capture thread + ring buffer
++ tuner probe/factory) and exposes the reference's control surface:
+sample_rate / frequency / gain / gain_mode / relative gain / gain range
+/ ppm correction, buffer-level and overflow counters, and u8->complex64
+sample conversion. Implements the :class:`grbaz_tpu.net.devices.Device`
+interface so it plugs straight into the BorIP server and executors.
+
+Transports: ``sim`` (register-accurate behavioral model) and ``file``
+(u8-IQ capture replay) — see the .cc header for why (no USB hardware in
+this environment; the architecture is the deliverable).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional
+
+import numpy as np
+
+from grbaz_tpu.net.devices import Device, GainRange, DEVICE_REGISTRY
+
+
+def _load():
+    from grbaz_tpu import native
+    c = ctypes
+    lib = native.load("rtlsdr_core", ["rtlsdr_core.cc"])
+    lib.rtl_open_sim.restype = c.c_void_p
+    lib.rtl_open_sim.argtypes = [c.c_double, c.c_double, c.c_double,
+                                 c.c_uint64, c.c_int]
+    lib.rtl_open_file.restype = c.c_void_p
+    lib.rtl_open_file.argtypes = [c.c_char_p, c.c_int]
+    lib.rtl_tuner_name.restype = c.c_char_p
+    lib.rtl_tuner_name.argtypes = [c.c_void_p]
+    for fn, res, args in [
+            ("rtl_set_sample_rate", c.c_int, [c.c_void_p, c.c_double]),
+            ("rtl_get_sample_rate", c.c_double, [c.c_void_p]),
+            ("rtl_set_frequency", c.c_int, [c.c_void_p, c.c_double]),
+            ("rtl_get_frequency", c.c_double, [c.c_void_p]),
+            ("rtl_set_gain", c.c_int, [c.c_void_p, c.c_double]),
+            ("rtl_get_gain", c.c_double, [c.c_void_p]),
+            ("rtl_set_gain_mode", c.c_int, [c.c_void_p, c.c_int]),
+            ("rtl_start", c.c_int, [c.c_void_p, c.c_uint32]),
+            ("rtl_read", c.c_int,
+             [c.c_void_p, c.POINTER(c.c_uint8), c.c_int, c.c_int])]:
+        f = getattr(lib, fn)
+        f.restype = res
+        f.argtypes = args
+    lib.rtl_set_ppm.argtypes = [c.c_void_p, c.c_double]
+    lib.rtl_stop.argtypes = [c.c_void_p]
+    lib.rtl_close.argtypes = [c.c_void_p]
+    lib.rtl_gain_range.argtypes = [c.c_void_p, c.POINTER(c.c_double),
+                                   c.POINTER(c.c_double),
+                                   c.POINTER(c.c_double)]
+    lib.rtl_stats.argtypes = [c.c_void_p, c.POINTER(c.c_uint64),
+                              c.POINTER(c.c_uint64), c.POINTER(c.c_uint64),
+                              c.POINTER(c.c_double)]
+    return lib
+
+
+TUNER_IDS = {"e4000": 0, "r820t": 1}
+
+
+class RTLSource(Device):
+    """RTL2832-class device (sim or file transport)."""
+
+    def __init__(self, transport: str = "sim", path: str = "",
+                 tuner: str = "r820t", tone_offset: float = 25e3,
+                 amplitude: float = 0.6, noise: float = 0.02,
+                 rate: float = 2.048e6, seed: int = 1):
+        super().__init__()
+        self._lib = _load()
+        tid = TUNER_IDS[tuner]
+        if transport == "sim":
+            self._h = self._lib.rtl_open_sim(tone_offset, amplitude, noise,
+                                             seed, tid)
+        elif transport == "file":
+            self._h = self._lib.rtl_open_file(path.encode(), tid)
+        else:
+            raise ValueError(f"unknown transport {transport}")
+        if not self._h:
+            raise OSError("failed to open RTL device")
+        self._lib.rtl_set_sample_rate(self._h, rate)
+        self._rate = self._lib.rtl_get_sample_rate(self._h)
+
+    # -- Device interface -----------------------------------------------------
+    def name(self) -> str:
+        return "RTL2832 (%s)" % self.tuner_name()
+
+    def serial(self) -> str:
+        return "RTL0001"
+
+    def master_clock(self) -> float:
+        return 28.8e6
+
+    def tuner_name(self) -> str:
+        return self._lib.rtl_tuner_name(self._h).decode()
+
+    def gain_range(self) -> GainRange:
+        a = ctypes.c_double()
+        b = ctypes.c_double()
+        s = ctypes.c_double()
+        self._lib.rtl_gain_range(self._h, ctypes.byref(a), ctypes.byref(b),
+                                 ctypes.byref(s))
+        return GainRange(a.value, b.value, s.value)
+
+    def antennas(self) -> List[str]:
+        return ["RX"]
+
+    def sample_rate(self, r: Optional[float] = None):
+        if r is None:
+            return self._lib.rtl_get_sample_rate(self._h)
+        if self._lib.rtl_set_sample_rate(self._h, float(r)) != 0:
+            self._last_error = f"rate {r} outside 900001..3200000"
+            return False
+        self._rate = self._lib.rtl_get_sample_rate(self._h)
+        return True
+
+    def freq(self, f: Optional[float] = None):
+        if f is None:
+            return self._lib.rtl_get_frequency(self._h)
+        ok = self._lib.rtl_set_frequency(self._h, float(f)) == 0
+        if not ok:
+            self._last_error = "tune failed"
+        return ok
+
+    def gain(self, g: Optional[float] = None):
+        if g is None:
+            return self._lib.rtl_get_gain(self._h)
+        ok = self._lib.rtl_set_gain(self._h, float(g)) == 0
+        if not ok:
+            self._last_error = "gain set rejected (auto mode?)"
+        return ok
+
+    def set_gain_mode(self, manual: bool) -> bool:
+        return self._lib.rtl_set_gain_mode(self._h, 1 if manual else 0) == 0
+
+    def set_relative_gain(self, fraction: float) -> bool:
+        """Reference's relative-gain helper: 0..1 across the range."""
+        r = self.gain_range()
+        return self.gain(r.start + (r.stop - r.start)
+                         * min(max(fraction, 0.0), 1.0))
+
+    def set_ppm(self, ppm: float):
+        self._lib.rtl_set_ppm(self._h, float(ppm))
+
+    def start(self) -> bool:
+        self._running = True
+        return self._lib.rtl_start(self._h, 1 << 22) == 0
+
+    def stop(self):
+        self._running = False
+        if getattr(self, "_h", None):
+            self._lib.rtl_stop(self._h)
+
+    def read_samples(self, n: int) -> np.ndarray:
+        buf = (ctypes.c_uint8 * (2 * n))()
+        got = self._lib.rtl_read(self._h, buf, 2 * n, 500)
+        raw = np.frombuffer(buf, np.uint8, count=max(got, 0))
+        raw = raw[: (len(raw) // 2) * 2]
+        f = (raw.astype(np.float32) - 127.5) / 127.5
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+    def stats(self) -> dict:
+        s = ctypes.c_uint64()
+        o = ctypes.c_uint64()
+        p = ctypes.c_uint64()
+        lvl = ctypes.c_double()
+        self._lib.rtl_stats(self._h, ctypes.byref(s), ctypes.byref(o),
+                            ctypes.byref(p), ctypes.byref(lvl))
+        return dict(samples_received=s.value, overflows=o.value,
+                    read_packet_count=p.value, buffer_level=lvl.value)
+
+    def close(self):
+        self.stop()
+        if getattr(self, "_h", None):
+            self._lib.rtl_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# register with the BorIP DEVICE hint resolver ("DEVICE rtl ...")
+DEVICE_REGISTRY["rtl"] = RTLSource
+DEVICE_REGISTRY["rtl_sdr"] = RTLSource

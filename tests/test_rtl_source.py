@@ -1,0 +1,93 @@
+"""RTL2832-class native driver: tuner probe, rate/freq/gain, capture."""
+
+import numpy as np
+import pytest
+
+from grbaz_tpu.io.rtl_source import RTLSource
+
+
+@pytest.fixture(scope="module")
+def dev():
+    d = RTLSource(transport="sim", tuner="r820t", tone_offset=50e3,
+                  rate=1.024e6, noise=0.0)
+    yield d
+    d.close()
+
+
+def test_tuner_probe_and_metadata(dev):
+    assert dev.tuner_name() == "r820t"
+    assert "RTL2832" in dev.name()
+    assert dev.master_clock() == 28.8e6
+    r = dev.gain_range()
+    assert r.stop > r.start and r.step > 0
+
+
+def test_e4000_probe():
+    d = RTLSource(transport="sim", tuner="e4000", rate=1.2e6)
+    assert d.tuner_name() == "e4000"
+    d.close()
+
+
+def test_sample_rate_programming(dev):
+    # exact rational ratio vs the 28.8 MHz crystal: actual differs from
+    # requested but stays within the register resolution
+    assert dev.sample_rate(2.048e6)
+    actual = dev.sample_rate()
+    assert abs(actual - 2.048e6) / 2.048e6 < 1e-5
+    # range enforcement (lib/rtl2832.cc:59-60)
+    assert not dev.sample_rate(100e3)
+    assert not dev.sample_rate(5e6)
+    assert dev.sample_rate(1.024e6)
+
+
+def test_tune_and_pll_resolution(dev):
+    assert dev.freq(100.0e6)
+    got = dev.freq()
+    # sigma-delta PLL resolution: well under 1 kHz at 100 MHz
+    assert abs(got - 100.0e6) < 1000.0
+
+
+def test_gain_modes(dev):
+    assert dev.set_gain_mode(True)
+    assert dev.gain(20.0)
+    g = dev.gain()
+    r = dev.gain_range()
+    assert abs(g - 20.0) <= r.step
+    assert dev.set_relative_gain(1.0)
+    assert abs(dev.gain() - r.stop) <= r.step
+    # auto mode rejects manual sets (reference behavior)
+    assert dev.set_gain_mode(False)
+    assert not dev.gain(10.0)
+    dev.set_gain_mode(True)
+
+
+def test_capture_tone(dev):
+    dev.sample_rate(1.024e6)
+    dev.start()
+    try:
+        out = []
+        got = 0
+        import time
+        t0 = time.monotonic()
+        while got < 65536 and time.monotonic() - t0 < 10:
+            x = dev.read_samples(16384)
+            out.append(x)
+            got += len(x)
+        x = np.concatenate(out)[:65536]
+        assert len(x) == 65536
+        spec = np.abs(np.fft.fft(x * np.hanning(len(x))))
+        f = np.argmax(spec) / len(x)
+        # sim transport synthesizes the tone at +50 kHz
+        assert abs(f - 50e3 / 1.024e6) < 1e-3
+        st = dev.stats()
+        assert st["samples_received"] >= 65536
+        assert st["read_packet_count"] > 0
+    finally:
+        dev.stop()
+
+
+def test_borip_hint_integration():
+    from grbaz_tpu.net.devices import create_device
+    d = create_device("rtl transport=sim tuner=e4000 rate=1024000")
+    assert d.tuner_name() == "e4000"
+    d.close()
