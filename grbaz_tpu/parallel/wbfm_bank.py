@@ -22,6 +22,16 @@ global sample index (uint32 modular arithmetic, ``ops.exact``), so each
 time shard computes its slice of the oscillator independently — a
 communication-free formulation impossible with the reference's
 sequential NCO loops.
+
+The fractional resampler is *also* fully time-sharded (the hard part —
+SURVEY.md §7 hard part 3): because output positions are affine in the
+output index (p_k = mu + k*ratio, exact 32.32 integers), every shard
+recomputes the identical global position ramp (cheap, replicated),
+selects the outputs whose source index falls in its own time slice,
+and gathers their 8-tap windows from its local samples + a 7-sample
+left halo. No sequential carry pass between shards; block boundaries
+stay bit-identical to the serial chain. Per-shard output counts are
+ragged (masked); the host compacts.
 """
 
 from __future__ import annotations
@@ -93,7 +103,14 @@ class ShardedWBFMBank:
         self.demod_gain = np.float32(
             cfg.quad_rate / (2 * np.pi * cfg.max_deviation))
         nq = cfg.block_size // cfg.decim
-        self.audio_capacity = int(np.ceil(nq / (cfg.ratio * 0.5))) + 1
+        self.nq = nq
+        self.ntq = nq // self.pt  # quad samples per time shard
+        if self.ntq <= RS_HIST:
+            raise ValueError("time shards too small for resampler history")
+        # global ramp capacity (+1 for the next-mu lookup)
+        self.rs_cap_global = int(np.ceil(nq / (cfg.ratio * 0.5))) + 1
+        # per-shard output capacity (ragged, masked)
+        self.audio_capacity = int(np.ceil(self.ntq / (cfg.ratio * 0.5))) + 2
 
         self._step = jax.jit(
             functools.partial(self._step_impl),
@@ -133,11 +150,14 @@ class ShardedWBFMBank:
         )
 
     # -- the sharded front end (inside shard_map) ---------------------------
-    def _front_local(self, lo_phase, fir_tail, demod_prev, lo_inc, x_local):
-        """Per-(chan,time)-shard: LO rotate + channel FIR + FM demod.
+    def _front_local(self, lo_phase, fir_tail, demod_prev, rs_tail,
+                     rs_mu_int, rs_mu_frac, rs_inc_int, rs_inc_frac,
+                     lo_inc, x_local):
+        """Per-(chan,time)-shard: LO rotate + channel FIR + FM demod +
+        time-sharded audio resampler.
 
-        x_local: [Cl, Nt] complex64. Returns (quad_local [Cl, Nt/decim],
-        new_lo_phase [Cl], new_fir_tail [Cl, hist], new_demod_prev [Cl]).
+        x_local: [Cl, Nt] complex64. Returns (quad [Cl, Nt/decim],
+        audio [Cl, cap_local], counts [Cl, 1], carries...).
         """
         cfg = self.cfg
         pt = self.pt
@@ -170,6 +190,11 @@ class ShardedWBFMBank:
         quad = jnp.arctan2(prod.imag, prod.real).astype(jnp.float32) \
             * self.demod_gain
 
+        # --- fully time-sharded fractional resampler ---
+        audio, counts, rs_mu_int2, rs_mu_frac2 = self._resample_local(
+            quad, rs_tail, rs_mu_int, rs_mu_frac, rs_inc_int, rs_inc_frac,
+            t_idx, perm)
+
         # --- new carries, made replicated across 'time' via masked psum ---
         is_last = (t_idx == pt - 1).astype(jnp.float32)
         new_fir_tail_r = lax.psum(xr[:, -self.hist:].real * is_last, "time")
@@ -178,46 +203,101 @@ class ShardedWBFMBank:
         new_prev_r = lax.psum(y[:, -1].real * is_last, "time")
         new_prev_i = lax.psum(y[:, -1].imag * is_last, "time")
         new_prev = lax.complex(new_prev_r, new_prev_i)
+        new_rs_tail = lax.psum(quad[:, -RS_HIST:] * is_last, "time")
         # LO phase advance is identical on every shard (exact, affine)
         new_lo_phase = lo_phase + jnp.uint32(cfg.block_size) * lo_inc
-        return quad, new_lo_phase, new_fir_tail, new_prev
+        return (quad, audio, counts[:, None], new_lo_phase, new_fir_tail,
+                new_prev, new_rs_tail, rs_mu_int2, rs_mu_frac2)
+
+    def _resample_local(self, quad, rs_tail, mu_int, mu_frac,
+                        inc_int, inc_frac, t_idx, perm):
+        """Per-(chan,time)-shard affine-partitioned resampler.
+
+        quad: [Cl, Ntq] local quad samples. Every shard computes the
+        identical global position ramp (replicated over 'time'), keeps
+        the outputs whose source index lands in its slice, and gathers
+        windows from (left halo + local samples). Returns
+        (audio [Cl, cap_local], counts [Cl], new_mu_int [Cl],
+        new_mu_frac [Cl]) — the mu update is replicated-exact.
+        """
+        from grbaz_tpu.ops import exact
+        from grbaz_tpu.ops.mmse import NSTEPS_LOG2, NTAPS
+        ntq, nq = self.ntq, self.nq
+        cap_g, cap_l = self.rs_cap_global, self.audio_capacity
+
+        halo = lax.ppermute(quad[:, -RS_HIST:], "time", perm)
+        left = jnp.where(t_idx == 0, rs_tail, halo)
+        local_frame = jnp.concatenate([left, quad], axis=1)  # [Cl, ntq+7]
+        base = t_idx * jnp.int32(ntq)
+        taps_table = jnp.asarray(TAPS_TABLE)
+
+        def per_channel(frame_c, mu_i, mu_f):
+            idx, frac = exact.fixed_positions(cap_g + 1, mu_f, inc_int,
+                                              inc_frac)
+            idx = idx + mu_i
+            valid_g = idx[:cap_g] <= jnp.int32(nq - 1)
+            own = valid_g & (idx[:cap_g] >= base) \
+                & (idx[:cap_g] < base + ntq)
+            bins = exact.frac_to_phase_bin(frac[:cap_g], NSTEPS_LOG2)
+            taps = taps_table[bins]
+            off = jnp.clip(idx[:cap_g] - base, 0, ntq - 1)
+            win = frame_c[off[:, None]
+                          + jnp.arange(NTAPS, dtype=jnp.int32)[None, :]]
+            yv = jnp.sum(win * taps, axis=1)
+            yv = jnp.where(own, yv, 0.0)
+            # compact owned outputs to the front of the local buffer
+            pos = jnp.cumsum(own.astype(jnp.int32)) - 1
+            slot = jnp.where(own, jnp.clip(pos, 0, cap_l - 1), cap_l - 1)
+            out = jnp.zeros((cap_l,), yv.dtype).at[slot].add(
+                jnp.where(own, yv, 0.0))
+            count = jnp.minimum(jnp.sum(own.astype(jnp.int32)), cap_l)
+            # replicated-exact mu advance (identical on every shard)
+            n_out_g = jnp.sum(valid_g.astype(jnp.int32))
+            new_mu_i = idx[n_out_g] - jnp.int32(nq)
+            new_mu_f = frac[n_out_g]
+            return out, count, new_mu_i, new_mu_f
+
+        return jax.vmap(per_channel)(local_frame, mu_int, mu_frac)
 
     # -- full step ----------------------------------------------------------
     def _step_impl(self, state, params, x):
-        cfg = self.cfg
         front = jax.shard_map(
             self._front_local,
             mesh=self.mesh,
-            in_specs=(P("chan"), P("chan", None), P("chan"), P("chan"),
-                      P("chan", "time")),
-            out_specs=(P("chan", "time"), P("chan"), P("chan", None),
-                       P("chan")),
+            in_specs=(P("chan"), P("chan", None), P("chan"),
+                      P("chan", None), P("chan"), P("chan"), P(), P(),
+                      P("chan"), P("chan", "time")),
+            out_specs=(P("chan", "time"), P("chan", "time"),
+                       P("chan", "time"), P("chan"), P("chan", None),
+                       P("chan"), P("chan", None), P("chan"), P("chan")),
         )
-        quad, lo_phase, fir_tail, demod_prev = front(
+        (quad, audio, counts, lo_phase, fir_tail, demod_prev, rs_tail,
+         rs_mu_int, rs_mu_frac) = front(
             state["lo_phase"], state["fir_tail"], state["demod_prev"],
+            state["rs_tail"], state["rs_mu_int"], state["rs_mu_frac"],
+            params["rs_inc_int"], params["rs_inc_frac"],
             params["lo_inc"], x)
-
-        # --- audio resampler: channel-sharded, time-gathered ---
-        quad = lax.with_sharding_constraint(
-            quad, NamedSharding(self.mesh, P("chan", None)))
-        frame = jnp.concatenate([state["rs_tail"], quad], axis=1)
-        taps = TAPS_TABLE
-
-        def rs_one(fr, mu_i, mu_f):
-            return resample_block(fr, mu_i, mu_f, params["rs_inc_int"],
-                                  params["rs_inc_frac"], self.audio_capacity,
-                                  taps)
-
-        audio, n_out, mu_int, mu_frac = jax.vmap(rs_one)(
-            frame, state["rs_mu_int"], state["rs_mu_frac"])
         new_state = dict(
             lo_phase=lo_phase, fir_tail=fir_tail, demod_prev=demod_prev,
-            rs_tail=frame[:, -RS_HIST:], rs_mu_int=mu_int, rs_mu_frac=mu_frac)
-        return new_state, (audio, n_out)
+            rs_tail=rs_tail, rs_mu_int=rs_mu_int, rs_mu_frac=rs_mu_frac)
+        return new_state, (audio, counts)
 
     def step(self, state, params, x):
-        """x: [C, block_size] complex64 -> (state', (audio [C, cap], n_out [C]))."""
+        """x: [C, block_size] complex64 ->
+        (state', (audio [C, pt*cap_local], counts [C, pt])).
+
+        Per-time-shard outputs are ragged; use :meth:`compact_audio`.
+        """
         return self._step(state, params, x)
+
+    def compact_audio(self, audio, counts):
+        """Host-side: [C, pt*cap] + [C, pt] -> list of [n_c] arrays."""
+        audio = np.asarray(audio).reshape(self.cfg.channels, self.pt,
+                                          self.audio_capacity)
+        counts = np.asarray(counts).reshape(self.cfg.channels, self.pt)
+        return [np.concatenate([audio[c, s, :counts[c, s]]
+                                for s in range(self.pt)])
+                for c in range(self.cfg.channels)]
 
     def input_sharding(self):
         return NamedSharding(self.mesh, P("chan", "time"))

@@ -49,9 +49,8 @@ def run_bank(bank, cfg, x_all, freqs):
             np.ascontiguousarray(
                 x_all[:, b * cfg.block_size:(b + 1) * cfg.block_size]),
             bank.input_sharding())
-        state, (audio, n_out) = bank.step(state, params, x)
-        a, c = np.asarray(audio), np.asarray(n_out)
-        outs.append([a[i, :c[i]] for i in range(cfg.channels)])
+        state, (audio, counts) = bank.step(state, params, x)
+        outs.append(bank.compact_audio(audio, counts))
     return [np.concatenate([o[i] for o in outs]) for i in range(cfg.channels)]
 
 
