@@ -67,4 +67,11 @@ def load_boripnet():
     lib.borip_tx_end.restype = c.c_int
     lib.borip_tx_end.argtypes = [c.c_void_p]
     lib.borip_tx_destroy.argtypes = [c.c_void_p]
+    lib.borip_rx_ata_info.argtypes = [c.c_void_p, c.POINTER(c.c_double),
+                                      c.POINTER(c.c_double),
+                                      c.POINTER(c.c_uint64),
+                                      c.POINTER(c.c_uint32)]
+    lib.borip_tx_ata_meta.argtypes = [c.c_void_p, c.c_double, c.c_double,
+                                      c.c_uint32, c.c_uint32, c.c_uint32,
+                                      c.c_uint32]
     return lib

@@ -37,7 +37,28 @@ struct BorHeader {
   uint8_t notification;
   uint16_t idx;  // little-endian sequence index
 };
+
+// ATA (Allen Telescope Array) sample-packet header — the third wire
+// dialect of the reference UDP source (baz_udp_source.cc:85-100):
+// 64 packed bytes carrying stream metadata and a 32-bit sequence id.
+struct AtaHeader {
+  uint8_t group, version, bits_per_sample, binary_point;
+  uint32_t order;
+  uint8_t type, streams, pol_code, hdr_len;
+  uint32_t src;
+  uint32_t chan;
+  uint32_t seq;
+  double freq;
+  double sample_rate;
+  float usable_fraction;
+  float reserved;
+  uint64_t abs_time;
+  uint32_t flags;
+  uint32_t len;
+};
 #pragma pack(pop)
+
+static_assert(sizeof(AtaHeader) == 64, "ATA header must be 64 bytes");
 
 enum BorFlags {
   BF_NONE = 0x00,
@@ -49,7 +70,7 @@ enum BorFlags {
   BF_STREAM_END = 0x20,
 };
 
-enum Mode { MODE_RAW = 0, MODE_BOR = 1 };
+enum Mode { MODE_RAW = 0, MODE_BOR = 1, MODE_ATA = 2 };
 
 struct RxEngine {
   int fd = -1;
@@ -69,6 +90,13 @@ struct RxEngine {
   std::atomic<bool> running{false};
   bool seq_valid = false;
   uint16_t next_seq = 0;
+  uint32_t next_seq32 = 0;  // ATA mode uses a 32-bit sequence counter
+  // last-seen ATA stream metadata (written by rx thread, read via
+  // borip_rx_ata_info; doubles are stored as bit patterns for atomicity)
+  std::atomic<uint64_t> ata_freq_bits{0};
+  std::atomic<uint64_t> ata_rate_bits{0};
+  std::atomic<uint64_t> ata_abs_time{0};
+  std::atomic<uint32_t> ata_bits_per_sample{0};
   std::thread thr;
 };
 
@@ -79,12 +107,21 @@ struct TxEngine {
   int mode = MODE_RAW;
   size_t payload = 1472;
   uint16_t seq = 0;
+  uint32_t seq32 = 0;
   bool started = false;
+  // ATA-mode stream metadata (stamped into every header)
+  double ata_freq = 0.0;
+  double ata_rate = 0.0;
+  uint32_t ata_chan = 0;
+  uint32_t ata_src = 0;
+  uint8_t ata_bits_per_sample = 16;
+  uint32_t ata_item_bytes = 4;  // bytes per sample item (abs_time step)
+  uint64_t ata_abs_time = 0;
   std::vector<uint8_t> buf;
 };
 
 void rx_loop(RxEngine* e) {
-  std::vector<uint8_t> pkt(e->payload + sizeof(BorHeader));
+  std::vector<uint8_t> pkt(e->payload + sizeof(AtaHeader));
   while (e->running.load(std::memory_order_relaxed)) {
     pollfd pfd{e->fd, POLLIN, 0};
     int pr = poll(&pfd, 1, 100);
@@ -116,6 +153,31 @@ void rx_loop(RxEngine* e) {
         e->next_seq = (uint16_t)(h.idx + 1);
       }
       if (h.flags & BF_EMPTY_PAYLOAD) plen = 0;
+    } else if (e->mode == MODE_ATA) {
+      if (plen < sizeof(AtaHeader)) continue;
+      AtaHeader h;
+      memcpy(&h, pkt.data(), sizeof(h));
+      payload += sizeof(AtaHeader);
+      plen -= sizeof(AtaHeader);
+      if (e->seq_valid) {
+        if (h.seq != e->next_seq32) {
+          e->dropped_seq.fetch_add((uint32_t)(h.seq - e->next_seq32),
+                                   std::memory_order_relaxed);
+          flags |= BF_NETWORK_OVERRUN;
+        }
+      } else {
+        e->seq_valid = true;
+      }
+      e->next_seq32 = h.seq + 1;
+      uint64_t fb, rb;
+      memcpy(&fb, &h.freq, sizeof(fb));
+      memcpy(&rb, &h.sample_rate, sizeof(rb));
+      e->ata_freq_bits.store(fb, std::memory_order_relaxed);
+      e->ata_rate_bits.store(rb, std::memory_order_relaxed);
+      e->ata_abs_time.store(h.abs_time, std::memory_order_relaxed);
+      e->ata_bits_per_sample.store(h.bits_per_sample,
+                                   std::memory_order_relaxed);
+      if (h.len && h.len < plen) plen = h.len;  // trust declared length
     }
     uint64_t head = e->head.load(std::memory_order_relaxed);
     uint64_t tail = e->tail.load(std::memory_order_acquire);
@@ -227,7 +289,7 @@ void* borip_tx_create(const char* host, uint16_t port, uint32_t payload_size,
   e->payload = payload_size;
   e->fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (e->fd < 0) { delete e; return nullptr; }
-  e->buf.resize(payload_size + sizeof(BorHeader));
+  e->buf.resize(payload_size + sizeof(AtaHeader));
   if (host && host[0]) {
     e->dest.sin_family = AF_INET;
     e->dest.sin_port = htons(port);
@@ -274,6 +336,26 @@ int64_t borip_tx_send(void* h, const uint8_t* data, int64_t len,
       ssize_t r = sendto(e->fd, e->buf.data(), chunk + sizeof(hdr), 0,
                          (sockaddr*)&e->dest, sizeof(e->dest));
       if (r < 0) return sent > 0 ? sent : -1;
+    } else if (e->mode == MODE_ATA) {
+      AtaHeader hdr{};
+      hdr.version = 1;
+      hdr.bits_per_sample = e->ata_bits_per_sample;
+      hdr.hdr_len = sizeof(AtaHeader);
+      hdr.streams = 1;
+      hdr.src = e->ata_src;
+      hdr.chan = e->ata_chan;
+      hdr.seq = e->seq32++;
+      hdr.freq = e->ata_freq;
+      hdr.sample_rate = e->ata_rate;
+      hdr.usable_fraction = 1.0f;
+      hdr.abs_time = e->ata_abs_time;
+      hdr.len = (uint32_t)chunk;
+      e->ata_abs_time += chunk / (e->ata_item_bytes ? e->ata_item_bytes : 1);
+      memcpy(e->buf.data(), &hdr, sizeof(hdr));
+      memcpy(e->buf.data() + sizeof(hdr), data + sent, chunk);
+      ssize_t r = sendto(e->fd, e->buf.data(), chunk + sizeof(hdr), 0,
+                         (sockaddr*)&e->dest, sizeof(e->dest));
+      if (r < 0) return sent > 0 ? sent : -1;
     } else {
       ssize_t r = sendto(e->fd, data + sent, chunk, 0, (sockaddr*)&e->dest,
                          sizeof(e->dest));
@@ -295,6 +377,32 @@ int borip_tx_end(void* h) {
   ssize_t r = sendto(e->fd, &hdr, sizeof(hdr), 0, (sockaddr*)&e->dest,
                      sizeof(e->dest));
   return r < 0 ? -1 : 0;
+}
+
+// ATA-mode stream metadata: read back what the RX thread last saw.
+void borip_rx_ata_info(void* h, double* freq, double* rate,
+                       uint64_t* abs_time, uint32_t* bits_per_sample) {
+  RxEngine* e = (RxEngine*)h;
+  uint64_t fb = e->ata_freq_bits.load(std::memory_order_relaxed);
+  uint64_t rb = e->ata_rate_bits.load(std::memory_order_relaxed);
+  if (freq) memcpy(freq, &fb, sizeof(fb));
+  if (rate) memcpy(rate, &rb, sizeof(rb));
+  if (abs_time) *abs_time = e->ata_abs_time.load(std::memory_order_relaxed);
+  if (bits_per_sample)
+    *bits_per_sample = e->ata_bits_per_sample.load(std::memory_order_relaxed);
+}
+
+// Configure the metadata stamped into outgoing ATA headers.
+void borip_tx_ata_meta(void* h, double freq, double rate, uint32_t chan,
+                       uint32_t src, uint32_t bits_per_sample,
+                       uint32_t item_bytes) {
+  TxEngine* e = (TxEngine*)h;
+  e->ata_freq = freq;
+  e->ata_rate = rate;
+  e->ata_chan = chan;
+  e->ata_src = src;
+  e->ata_bits_per_sample = (uint8_t)bits_per_sample;
+  e->ata_item_bytes = item_bytes;
 }
 
 void borip_tx_destroy(void* h) {

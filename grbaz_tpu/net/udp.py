@@ -27,8 +27,16 @@ from grbaz_tpu.core.stream import stream_flags
 
 MODE_RAW = 0
 MODE_BOR = 1
+MODE_ATA = 2
 DEFAULT_PAYLOAD = 1472  # swig/baz_swig.i:347-348
 BOR_HEADER = struct.Struct("<BBH")
+# ATA radio-astronomy header: 64 packed bytes with stream metadata and
+# a 32-bit sequence id (reference lib/baz_udp_source.cc:85-100).
+# group, version, bitsPerSample, binaryPoint, order, type, streams,
+# polCode, hdrLen, src, chan, seq, freq, sampleRate, usableFraction,
+# reserved, absTime, flags, len
+ATA_HEADER = struct.Struct("<4BI4BIIIddffQII")
+assert ATA_HEADER.size == 64
 
 
 def complex_to_ishort_bytes(x: np.ndarray) -> bytes:
@@ -57,9 +65,13 @@ class UDPSampleReceiver:
 
     def __init__(self, port: int = 0, payload_size: int = DEFAULT_PAYLOAD,
                  bor: bool = True, ring_packets: int = 8192,
-                 sock_buf: int = 1 << 22, force_python: bool = False):
+                 sock_buf: int = 1 << 22, force_python: bool = False,
+                 mode: Optional[int] = None):
         self.payload_size = payload_size
-        self.mode = MODE_BOR if bor else MODE_RAW
+        self.mode = mode if mode is not None else (
+            MODE_BOR if bor else MODE_RAW)
+        self._ata_meta = dict(freq=0.0, sample_rate=0.0, abs_time=0,
+                              bits_per_sample=0)
         self._lib = None if force_python else _native()
         if self._lib is not None:
             self._h = self._lib.borip_rx_create(
@@ -87,14 +99,30 @@ class UDPSampleReceiver:
     def _rx_loop(self):
         while self._run:
             try:
-                pkt = self._sock.recv(self.payload_size + 4)
+                pkt = self._sock.recv(self.payload_size + ATA_HEADER.size)
             except socket.timeout:
                 continue
             except OSError:
                 break
             flags = 0
             payload = pkt
-            if self.mode == MODE_BOR:
+            if self.mode == MODE_ATA:
+                if len(pkt) < ATA_HEADER.size:
+                    continue
+                (_g, _v, bps, _bp, _order, _t, _streams, _pol, _hl,
+                 _src, _chan, seq, freq, rate, _uf, _res, abs_time,
+                 _hflags, dlen) = ATA_HEADER.unpack(pkt[:ATA_HEADER.size])
+                payload = pkt[ATA_HEADER.size:]
+                if dlen and dlen < len(payload):
+                    payload = payload[:dlen]
+                if self._seq is not None and seq != self._seq:
+                    self._dropped += (seq - self._seq) & 0xFFFFFFFF
+                    flags |= stream_flags.NETWORK_OVERRUN
+                self._seq = (seq + 1) & 0xFFFFFFFF
+                self._ata_meta = dict(freq=freq, sample_rate=rate,
+                                      abs_time=abs_time,
+                                      bits_per_sample=bps)
+            elif self.mode == MODE_BOR:
                 if len(pkt) < 4:
                     continue
                 flags, _notif, idx = BOR_HEADER.unpack(pkt[:4])
@@ -135,6 +163,20 @@ class UDPSampleReceiver:
         b, flags = self.read_bytes(max_samples * 4)
         return ishort_bytes_to_complex(b[: len(b) // 4 * 4]), flags
 
+    def ata_info(self) -> dict:
+        """Last-seen ATA stream metadata (freq/rate/time, ATA mode)."""
+        if self._lib is not None:
+            f = ctypes.c_double()
+            r = ctypes.c_double()
+            t = ctypes.c_uint64()
+            b = ctypes.c_uint32()
+            self._lib.borip_rx_ata_info(self._h, ctypes.byref(f),
+                                        ctypes.byref(r), ctypes.byref(t),
+                                        ctypes.byref(b))
+            return dict(freq=f.value, sample_rate=r.value,
+                        abs_time=t.value, bits_per_sample=b.value)
+        return dict(self._ata_meta)
+
     def stats(self):
         if self._lib is not None:
             p = ctypes.c_uint64()
@@ -166,9 +208,12 @@ class UDPSampleSender:
 
     def __init__(self, host: str = "", port: int = 0,
                  payload_size: int = DEFAULT_PAYLOAD, bor: bool = True,
-                 force_python: bool = False):
+                 force_python: bool = False, mode: Optional[int] = None):
         self.payload_size = payload_size
-        self.mode = MODE_BOR if bor else MODE_RAW
+        self.mode = mode if mode is not None else (
+            MODE_BOR if bor else MODE_RAW)
+        self._ata = dict(freq=0.0, rate=0.0, chan=0, src=0,
+                         bits_per_sample=16, item_bytes=4, abs_time=0)
         self._lib = None if force_python else _native()
         if self._lib is not None:
             self._h = self._lib.borip_tx_create(
@@ -188,6 +233,17 @@ class UDPSampleSender:
         else:
             self._dest = (host, port)
 
+    def set_ata_meta(self, freq: float = 0.0, rate: float = 0.0,
+                     chan: int = 0, src: int = 0,
+                     bits_per_sample: int = 16, item_bytes: int = 4):
+        """Configure metadata stamped into outgoing ATA headers."""
+        self._ata.update(freq=freq, rate=rate, chan=chan, src=src,
+                         bits_per_sample=bits_per_sample,
+                         item_bytes=item_bytes)
+        if self._lib is not None:
+            self._lib.borip_tx_ata_meta(self._h, freq, rate, chan, src,
+                                        bits_per_sample, item_bytes)
+
     def send_bytes(self, data: bytes, flags: int = 0) -> int:
         if self._lib is not None:
             arr = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
@@ -197,7 +253,17 @@ class UDPSampleSender:
         sent = 0
         while sent < len(data):
             chunk = data[sent:sent + self.payload_size]
-            if self.mode == MODE_BOR:
+            if self.mode == MODE_ATA:
+                a = self._ata
+                hdr = ATA_HEADER.pack(
+                    0, 1, a["bits_per_sample"], 0, 0, 0, 1, 0,
+                    ATA_HEADER.size, a["src"], a["chan"],
+                    self._seq & 0xFFFFFFFF, a["freq"], a["rate"],
+                    1.0, 0.0, a["abs_time"], 0, len(chunk))
+                self._seq += 1
+                a["abs_time"] += len(chunk) // max(1, a["item_bytes"])
+                self._sock.sendto(hdr + chunk, self._dest)
+            elif self.mode == MODE_BOR:
                 f = flags
                 if not self._started:
                     f |= stream_flags.STREAM_START

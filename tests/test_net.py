@@ -83,6 +83,61 @@ def test_udp_drop_detection(impl):
     sock.close()
 
 
+def test_udp_ata_mode(impl):
+    """ATA dialect: 64-byte header, u32 seq, stream metadata carried."""
+    from grbaz_tpu.net.udp import ATA_HEADER, MODE_ATA
+    rx = UDPSampleReceiver(port=0, mode=MODE_ATA, **impl)
+    tx = UDPSampleSender("127.0.0.1", rx.port, mode=MODE_ATA,
+                         payload_size=256, **impl)
+    tx.set_ata_meta(freq=1.42e9, rate=104.8576e6, chan=7)
+    tx.send_bytes(b"\xab" * 600)  # 3 packets: 256+256+88
+    assert _wait(lambda: rx.stats()["packets"] >= 3)
+    data, flags = rx.read_bytes(4096)
+    assert data == b"\xab" * 600
+    assert rx.stats()["dropped"] == 0
+    info = rx.ata_info()
+    assert info["freq"] == pytest.approx(1.42e9)
+    assert info["sample_rate"] == pytest.approx(104.8576e6)
+    # now a raw-socket gap: jump the 32-bit seq counter
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    hdr = ATA_HEADER.pack(0, 1, 16, 0, 0, 0, 1, 0, 64, 0, 7, 100,
+                          1.42e9, 104.8576e6, 1.0, 0.0, 12345, 0, 16)
+    sock.sendto(hdr + b"\x00" * 16, ("127.0.0.1", rx.port))
+    assert _wait(lambda: rx.stats()["packets"] >= 4)
+    _, flags = rx.read_bytes(4096)
+    assert rx.stats()["dropped"] > 0
+    assert flags & stream_flags.NETWORK_OVERRUN
+    tx.close()
+    rx.close()
+    sock.close()
+
+
+def test_udp_ata_wire_format_exact(impl):
+    """ATA header must be the 64-byte packed layout with u32 seq/len."""
+    from grbaz_tpu.net.udp import ATA_HEADER, MODE_ATA
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(2.0)
+    port = sock.getsockname()[1]
+    tx = UDPSampleSender("127.0.0.1", port, mode=MODE_ATA,
+                         payload_size=128, **impl)
+    tx.set_ata_meta(freq=100e6, rate=2e6, item_bytes=4)
+    tx.send_bytes(b"\x22" * 200)  # 2 packets: 128 + 72
+    p1, _ = sock.recvfrom(4096)
+    p2, _ = sock.recvfrom(4096)
+    assert len(p1) == 64 + 128 and len(p2) == 64 + 72
+    h1 = ATA_HEADER.unpack(p1[:64])
+    h2 = ATA_HEADER.unpack(p2[:64])
+    # (seq, freq, rate, absTime, len) positions: 11, 12, 13, 16, 18
+    assert h1[11] == 0 and h2[11] == 1
+    assert h1[12] == pytest.approx(100e6) and h1[13] == pytest.approx(2e6)
+    assert h1[16] == 0 and h2[16] == 128 // 4  # absTime advances in items
+    assert h1[18] == 128 and h2[18] == 72
+    assert p1[64:] == b"\x22" * 128
+    tx.close()
+    sock.close()
+
+
 def test_ishort_conversion_roundtrip():
     x = (np.random.default_rng(0).standard_normal(256)
          + 1j * np.random.default_rng(1).standard_normal(256)).astype(np.complex64)
