@@ -61,7 +61,8 @@ def _load():
     return lib
 
 
-TUNER_IDS = {"e4000": 0, "r820t": 1}
+TUNER_IDS = {"e4000": 0, "r820t": 1, "e4k": 2, "fc0012": 3,
+             "fc0013": 4, "fc2580": 5}
 
 
 class RTLSource(Device):
@@ -83,8 +84,14 @@ class RTLSource(Device):
             raise ValueError(f"unknown transport {transport}")
         if not self._h:
             raise OSError("failed to open RTL device")
-        self._lib.rtl_set_sample_rate(self._h, rate)
-        self._rate = self._lib.rtl_get_sample_rate(self._h)
+        self._lib.rtl_set_sample_rate(self._hh, rate)
+        self._rate = self._lib.rtl_get_sample_rate(self._hh)
+
+    @property
+    def _hh(self):
+        if not self._h:
+            raise RuntimeError("RTLSource is closed")
+        return self._h
 
     # -- Device interface -----------------------------------------------------
     def name(self) -> str:
@@ -97,13 +104,13 @@ class RTLSource(Device):
         return 28.8e6
 
     def tuner_name(self) -> str:
-        return self._lib.rtl_tuner_name(self._h).decode()
+        return self._lib.rtl_tuner_name(self._hh).decode()
 
     def gain_range(self) -> GainRange:
         a = ctypes.c_double()
         b = ctypes.c_double()
         s = ctypes.c_double()
-        self._lib.rtl_gain_range(self._h, ctypes.byref(a), ctypes.byref(b),
+        self._lib.rtl_gain_range(self._hh, ctypes.byref(a), ctypes.byref(b),
                                  ctypes.byref(s))
         return GainRange(a.value, b.value, s.value)
 
@@ -112,31 +119,31 @@ class RTLSource(Device):
 
     def sample_rate(self, r: Optional[float] = None):
         if r is None:
-            return self._lib.rtl_get_sample_rate(self._h)
-        if self._lib.rtl_set_sample_rate(self._h, float(r)) != 0:
+            return self._lib.rtl_get_sample_rate(self._hh)
+        if self._lib.rtl_set_sample_rate(self._hh, float(r)) != 0:
             self._last_error = f"rate {r} outside 900001..3200000"
             return False
-        self._rate = self._lib.rtl_get_sample_rate(self._h)
+        self._rate = self._lib.rtl_get_sample_rate(self._hh)
         return True
 
     def freq(self, f: Optional[float] = None):
         if f is None:
-            return self._lib.rtl_get_frequency(self._h)
-        ok = self._lib.rtl_set_frequency(self._h, float(f)) == 0
+            return self._lib.rtl_get_frequency(self._hh)
+        ok = self._lib.rtl_set_frequency(self._hh, float(f)) == 0
         if not ok:
             self._last_error = "tune failed"
         return ok
 
     def gain(self, g: Optional[float] = None):
         if g is None:
-            return self._lib.rtl_get_gain(self._h)
-        ok = self._lib.rtl_set_gain(self._h, float(g)) == 0
+            return self._lib.rtl_get_gain(self._hh)
+        ok = self._lib.rtl_set_gain(self._hh, float(g)) == 0
         if not ok:
             self._last_error = "gain set rejected (auto mode?)"
         return ok
 
     def set_gain_mode(self, manual: bool) -> bool:
-        return self._lib.rtl_set_gain_mode(self._h, 1 if manual else 0) == 0
+        return self._lib.rtl_set_gain_mode(self._hh, 1 if manual else 0) == 0
 
     def set_relative_gain(self, fraction: float) -> bool:
         """Reference's relative-gain helper: 0..1 across the range."""
@@ -145,20 +152,20 @@ class RTLSource(Device):
                          * min(max(fraction, 0.0), 1.0))
 
     def set_ppm(self, ppm: float):
-        self._lib.rtl_set_ppm(self._h, float(ppm))
+        self._lib.rtl_set_ppm(self._hh, float(ppm))
 
     def start(self) -> bool:
         self._running = True
-        return self._lib.rtl_start(self._h, 1 << 22) == 0
+        return self._lib.rtl_start(self._hh, 1 << 22) == 0
 
     def stop(self):
         self._running = False
         if getattr(self, "_h", None):
-            self._lib.rtl_stop(self._h)
+            self._lib.rtl_stop(self._hh)
 
     def read_samples(self, n: int) -> np.ndarray:
         buf = (ctypes.c_uint8 * (2 * n))()
-        got = self._lib.rtl_read(self._h, buf, 2 * n, 500)
+        got = self._lib.rtl_read(self._hh, buf, 2 * n, 500)
         raw = np.frombuffer(buf, np.uint8, count=max(got, 0))
         raw = raw[: (len(raw) // 2) * 2]
         f = (raw.astype(np.float32) - 127.5) / 127.5
@@ -169,7 +176,7 @@ class RTLSource(Device):
         o = ctypes.c_uint64()
         p = ctypes.c_uint64()
         lvl = ctypes.c_double()
-        self._lib.rtl_stats(self._h, ctypes.byref(s), ctypes.byref(o),
+        self._lib.rtl_stats(self._hh, ctypes.byref(s), ctypes.byref(o),
                             ctypes.byref(p), ctypes.byref(lvl))
         return dict(samples_received=s.value, overflows=o.value,
                     read_packet_count=p.value, buffer_level=lvl.value)
@@ -177,7 +184,7 @@ class RTLSource(Device):
     def close(self):
         self.stop()
         if getattr(self, "_h", None):
-            self._lib.rtl_close(self._h)
+            self._lib.rtl_close(self._hh)
             self._h = None
 
     def __del__(self):

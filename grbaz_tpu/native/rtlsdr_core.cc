@@ -232,6 +232,234 @@ class TunerR820Class : public Tuner {
   int gain_idx_ = 0, mode_ = 1;
 };
 
+// -- E4K-class model: the alternative (osmocom-lineage) E4000 driver -------
+// Same silicon as e4000 (7-bit addr 0x64, id reg 0x02 == 0x40; reference
+// lib/rtl2832-tuner_e4k.cc:59-61) but a different control architecture:
+// a 3-phase PLL with a Z-divider/multiplier table and per-stage gain
+// decomposition (LNA + mixer + IF stages).
+class TunerE4KClass : public Tuner {
+ public:
+  explicit TunerE4KClass(Transport* t) : t_(t) {}
+  const char* name() const override { return "e4k"; }
+  int initialise() override {
+    t_->i2c_write(kAddr, 0x00, 0x01);  // master enable
+    t_->i2c_write(kAddr, 0x07, 0x00);
+    gain_db_ = 20.0;
+    return 0;
+  }
+  int set_frequency(double hz) override {
+    // pick the Z multiplier so the VCO lands in its band, then program
+    // integer + 16-bit sigma-delta fraction of fvco / xtal
+    static const int kMult[] = {48, 40, 32, 24, 16, 12, 8, 6, 4, 2};
+    for (int m : kMult) {
+      double vco = hz * m;
+      if (vco < 2.6e9 || vco > 3.9e9) continue;
+      double n = vco / kCrystalHz;
+      uint32_t ni = (uint32_t)n;
+      uint32_t sdm = (uint32_t)((n - ni) * 65536.0 + 0.5);
+      t_->i2c_write(kAddr, 0x09, (uint8_t)ni);
+      t_->i2c_write(kAddr, 0x0A, (uint8_t)(sdm & 0xFF));
+      t_->i2c_write(kAddr, 0x0B, (uint8_t)(sdm >> 8));
+      freq_ = kCrystalHz * (ni + sdm / 65536.0) / m;
+      return 0;
+    }
+    return -1;
+  }
+  double frequency() const override { return freq_; }
+  int set_gain(double db) override {
+    if (mode_ == 0) return -1;
+    GainRange r = gain_range();
+    if (db < r.start) db = r.start;
+    if (db > r.stop) db = r.stop;
+    // decompose: LNA in 2.5 dB steps up to 30, remainder to IF stages
+    int lna = (int)(std::min(db, 30.0) / 2.5);
+    double rem = db - lna * 2.5;
+    int ifg = (int)(rem / 1.0);
+    t_->i2c_write(kAddr, 0x14, (uint8_t)lna);
+    t_->i2c_write(kAddr, 0x16, (uint8_t)ifg);
+    gain_db_ = lna * 2.5 + ifg * 1.0;
+    return 0;
+  }
+  double gain() const override { return gain_db_; }
+  GainRange gain_range() const override { return {-10.0, 49.0, 0.5}; }
+  int set_gain_mode(int mode) override {
+    mode_ = mode;
+    t_->i2c_write(kAddr, 0x1A, mode ? 0x00 : 0x07);
+    return 0;
+  }
+  static Tuner* make(Transport* t) { return new TunerE4KClass(t); }
+  static constexpr uint8_t kAddr = 0x64;  // 0xc8 >> 1
+
+ private:
+  Transport* t_;
+  double freq_ = 0.0, gain_db_ = 0.0;
+  int mode_ = 1;
+};
+
+// helper: snap a request to the nearest entry of a discrete gain table
+static double snap_gain(const double* table, int n, double db, int* idx) {
+  int best = 0;
+  for (int i = 1; i < n; ++i)
+    if (std::fabs(table[i] - db) < std::fabs(table[best] - db)) best = i;
+  if (idx) *idx = best;
+  return table[best];
+}
+
+// -- Fitipower FC0012-class model: zero-IF, integer-N PLL, 3 LNA gains -----
+// (7-bit addr 0x63, id reg 0x00 == 0xa1; gains {0, 5, 10} dB — reference
+// lib/rtl2832-tuner_fc0012.h:32-41, .cc:205-209)
+class TunerFC0012Class : public Tuner {
+ public:
+  explicit TunerFC0012Class(Transport* t) : t_(t) {}
+  const char* name() const override { return "fc0012"; }
+  int initialise() override {
+    t_->i2c_write(kAddr, 0x0B, 0x82);
+    gain_db_ = kGains[1];
+    return 0;
+  }
+  int set_frequency(double hz) override {
+    // zero-IF: VCO in [1.1, 2.5] GHz via output divider chain
+    static const int kDiv[] = {2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
+    for (int dv : kDiv) {
+      double vco = hz * dv;
+      if (vco < 1.1e9 || vco > 2.5e9) continue;
+      double n = vco / (kCrystalHz / 2.0);
+      uint32_t ni = (uint32_t)n;
+      uint32_t frac = (uint32_t)((n - ni) * 65536.0 + 0.5);
+      t_->i2c_write(kAddr, 0x01, (uint8_t)ni);
+      t_->i2c_write(kAddr, 0x02, (uint8_t)(frac >> 8));
+      t_->i2c_write(kAddr, 0x03, (uint8_t)(frac & 0xFF));
+      freq_ = (kCrystalHz / 2.0) * (ni + frac / 65536.0) / dv;
+      return 0;
+    }
+    return -1;
+  }
+  double frequency() const override { return freq_; }
+  int set_gain(double db) override {
+    if (mode_ == 0) return -1;
+    int idx;
+    gain_db_ = snap_gain(kGains, 3, db, &idx);
+    static const uint8_t kLnaCode[] = {0x00, 0x08, 0x17};
+    t_->i2c_write(kAddr, 0x13, kLnaCode[idx]);
+    return 0;
+  }
+  double gain() const override { return gain_db_; }
+  GainRange gain_range() const override { return {0.0, 10.0, 5.0}; }
+  int set_gain_mode(int mode) override { mode_ = mode; return 0; }
+  static Tuner* make(Transport* t) { return new TunerFC0012Class(t); }
+  static constexpr uint8_t kAddr = 0x63;  // 0xc6 >> 1
+  static constexpr double kGains[3] = {0.0, 5.0, 10.0};
+
+ private:
+  Transport* t_;
+  double freq_ = 0.0, gain_db_ = 0.0;
+  int mode_ = 1;
+};
+
+// -- Fitipower FC0013-class model: FC0012 successor, 4 LNA gain points -----
+// (same 7-bit addr 0x63, id reg 0x00 == 0xa3; gains {-6.3, 7.1, 19.1,
+// 19.7} dB — reference lib/rtl2832-tuner_fc0013.cc:16-18,164-169)
+class TunerFC0013Class : public Tuner {
+ public:
+  explicit TunerFC0013Class(Transport* t) : t_(t) {}
+  const char* name() const override { return "fc0013"; }
+  int initialise() override {
+    t_->i2c_write(kAddr, 0x0B, 0x82);
+    t_->i2c_write(kAddr, 0x09, 0x02);
+    gain_db_ = kGains[1];
+    return 0;
+  }
+  int set_frequency(double hz) override {
+    static const int kDiv[] = {2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
+    for (int dv : kDiv) {
+      double vco = hz * dv;
+      if (vco < 1.1e9 || vco > 2.5e9) continue;
+      double n = vco / (kCrystalHz / 2.0);
+      uint32_t ni = (uint32_t)n;
+      uint32_t frac = (uint32_t)((n - ni) * 65536.0 + 0.5);
+      t_->i2c_write(kAddr, 0x01, (uint8_t)ni);
+      t_->i2c_write(kAddr, 0x02, (uint8_t)(frac >> 8));
+      t_->i2c_write(kAddr, 0x03, (uint8_t)(frac & 0xFF));
+      freq_ = (kCrystalHz / 2.0) * (ni + frac / 65536.0) / dv;
+      return 0;
+    }
+    return -1;
+  }
+  double frequency() const override { return freq_; }
+  int set_gain(double db) override {
+    if (mode_ == 0) return -1;
+    int idx;
+    gain_db_ = snap_gain(kGains, 4, db, &idx);
+    static const uint8_t kLnaCode[] = {0x02, 0x08, 0x17, 0x10};
+    t_->i2c_write(kAddr, 0x14, kLnaCode[idx]);
+    return 0;
+  }
+  double gain() const override { return gain_db_; }
+  GainRange gain_range() const override { return {-6.3, 19.7, 0.1}; }
+  int set_gain_mode(int mode) override { mode_ = mode; return 0; }
+  static Tuner* make(Transport* t) { return new TunerFC0013Class(t); }
+  static constexpr uint8_t kAddr = 0x63;
+  static constexpr double kGains[4] = {-6.3, 7.1, 19.1, 19.7};
+
+ private:
+  Transport* t_;
+  double freq_ = 0.0, gain_db_ = 0.0;
+  int mode_ = 1;
+};
+
+// -- FCI FC2580-class model: wideband, fractional-N, kHz granularity -------
+// (7-bit addr 0x56, id reg 0x01 == 0x56; tuned frequency rounds to 1 kHz
+// — reference lib/rtl2832-tuner_fc2580.h:33-35, .cc:137)
+class TunerFC2580Class : public Tuner {
+ public:
+  explicit TunerFC2580Class(Transport* t) : t_(t) {}
+  const char* name() const override { return "fc2580"; }
+  int initialise() override {
+    t_->i2c_write(kAddr, 0x02, 0x01);
+    gain_db_ = 12.0;
+    return 0;
+  }
+  int set_frequency(double hz) override {
+    // kHz-granular programming: the control interface works in kHz
+    double target = std::floor((hz + 500.0) / 1000.0) * 1000.0;
+    static const int kDiv[] = {1, 2, 4, 8, 16, 32};
+    for (int dv : kDiv) {
+      double vco = target * dv;
+      if (vco < 2.4e9 || vco > 4.8e9) continue;
+      double n = vco / kCrystalHz;
+      uint32_t ni = (uint32_t)n;
+      uint32_t sdm = (uint32_t)((n - ni) * 1048576.0 + 0.5);  // 20-bit
+      t_->i2c_write(kAddr, 0x18, (uint8_t)ni);
+      t_->i2c_write(kAddr, 0x19, (uint8_t)(sdm >> 12));
+      t_->i2c_write(kAddr, 0x1A, (uint8_t)((sdm >> 4) & 0xFF));
+      t_->i2c_write(kAddr, 0x1B, (uint8_t)(sdm & 0xF));
+      freq_ = target;  // kHz-exact by construction
+      return 0;
+    }
+    return -1;
+  }
+  double frequency() const override { return freq_; }
+  int set_gain(double db) override {
+    if (mode_ == 0) return -1;
+    GainRange r = gain_range();
+    if (db < r.start) db = r.start;
+    if (db > r.stop) db = r.stop;
+    gain_db_ = std::round(db);
+    t_->i2c_write(kAddr, 0x49, (uint8_t)gain_db_);
+    return 0;
+  }
+  double gain() const override { return gain_db_; }
+  GainRange gain_range() const override { return {0.0, 30.0, 1.0}; }
+  int set_gain_mode(int mode) override { mode_ = mode; return 0; }
+  static Tuner* make(Transport* t) { return new TunerFC2580Class(t); }
+  static constexpr uint8_t kAddr = 0x56;  // 0xac >> 1
+
+ private:
+  Transport* t_;
+  double freq_ = 0.0, gain_db_ = 0.0;
+  int mode_ = 1;
+};
+
 struct TunerRegistrar {
   TunerRegistrar() {
     tuner_registry().push_back(
@@ -240,17 +468,37 @@ struct TunerRegistrar {
     tuner_registry().push_back(
         {TunerR820Class::kAddr, 0x00, 0x69, &TunerR820Class::make,
          "r820t"});
+    tuner_registry().push_back(
+        {TunerE4KClass::kAddr, 0x02, 0x40, &TunerE4KClass::make, "e4k"});
+    tuner_registry().push_back(
+        {TunerFC0012Class::kAddr, 0x00, 0xa1, &TunerFC0012Class::make,
+         "fc0012"});
+    tuner_registry().push_back(
+        {TunerFC0013Class::kAddr, 0x00, 0xa3, &TunerFC0013Class::make,
+         "fc0013"});
+    tuner_registry().push_back(
+        {TunerFC2580Class::kAddr, 0x01, 0x56, &TunerFC2580Class::make,
+         "fc2580"});
   }
 } tuner_registrar;
+
+const TunerProbe* probe_by_name(const char* name) {
+  for (const auto& p : tuner_registry())
+    if (strcmp(p.name, name) == 0) return &p;
+  return nullptr;
+}
 
 // ---------------------------------------------------------------------------
 // transports
 // ---------------------------------------------------------------------------
 class SimTransport : public Transport {
  public:
-  explicit SimTransport(uint8_t tuner_addr, double tone_offset,
+  // `sel` is the tuner the simulated front-end "has": its id register
+  // answers that probe's expected value (same-address tuner families —
+  // fc0012 vs fc0013 — are disambiguated by id value, as on real parts).
+  explicit SimTransport(TunerProbe sel, double tone_offset,
                         double amplitude, double noise, uint64_t seed)
-      : tuner_addr_(tuner_addr), tone_offset_(tone_offset),
+      : sel_(sel), tuner_addr_(sel.i2c_addr), tone_offset_(tone_offset),
         amplitude_(amplitude), noise_(noise), rng_(seed) {}
   int read_reg(uint16_t addr, uint32_t* v) override {
     auto it = regs_.find(addr);
@@ -263,12 +511,10 @@ class SimTransport : public Transport {
   }
   int i2c_read(uint8_t dev, uint8_t reg, uint8_t* v) override {
     if (dev != tuner_addr_) return -1;  // probe miss: NAK
-    // identification registers answer the registry's expected values
-    for (const auto& p : tuner_registry())
-      if (p.i2c_addr == dev && p.id_reg == reg) {
-        *v = p.id_value;
-        return 0;
-      }
+    if (reg == sel_.id_reg) {  // identification register
+      *v = sel_.id_value;
+      return 0;
+    }
     auto it = i2c_.find(reg);
     *v = it == i2c_.end() ? 0 : it->second;
     return 0;
@@ -299,6 +545,7 @@ class SimTransport : public Transport {
   }
 
  private:
+  TunerProbe sel_;
   uint8_t tuner_addr_;
   double tone_offset_, amplitude_, noise_;
   double rate_ = 2.048e6, lo_ = 0.0, phase_ = 0.0;
@@ -309,8 +556,8 @@ class SimTransport : public Transport {
 
 class FileTransport : public Transport {
  public:
-  explicit FileTransport(const char* path, uint8_t tuner_addr)
-      : tuner_addr_(tuner_addr) {
+  explicit FileTransport(const char* path, TunerProbe sel)
+      : sel_(sel), tuner_addr_(sel.i2c_addr) {
     fp_ = fopen(path, "rb");
   }
   ~FileTransport() override {
@@ -321,8 +568,7 @@ class FileTransport : public Transport {
   int write_reg(uint16_t, uint32_t) override { return 0; }
   int i2c_read(uint8_t dev, uint8_t reg, uint8_t* v) override {
     if (dev != tuner_addr_) return -1;
-    for (const auto& p : tuner_registry())
-      if (p.i2c_addr == dev && p.id_reg == reg) { *v = p.id_value; return 0; }
+    if (reg == sel_.id_reg) { *v = sel_.id_value; return 0; }
     *v = 0;
     return 0;
   }
@@ -342,6 +588,7 @@ class FileTransport : public Transport {
   }
 
  private:
+  TunerProbe sel_;
   uint8_t tuner_addr_;
   FILE* fp_ = nullptr;
 };
@@ -352,22 +599,35 @@ class FileTransport : public Transport {
 // ---------------------------------------------------------------------------
 class Demod {
  public:
-  Demod(std::unique_ptr<Transport> t) : t_(std::move(t)) {}
+  explicit Demod(std::unique_ptr<Transport> t, const char* prefer = nullptr)
+      : t_(std::move(t)), prefer_(prefer ? prefer : "") {}
   ~Demod() { stop(); }
 
   int initialise() {
     // reset + demod init register sequence (shape of init_demod)
     t_->write_reg(0x3000, 0x01);
     t_->write_reg(0x3001, 0x00);
-    // tuner probe: walk the registry, match id registers over I2C
+    // tuner probe: walk the registry, match id registers over I2C.
+    // A preferred driver (if named) is probed first — this is how the
+    // ambiguous-silicon pairs (e4000 vs the alternative e4k driver)
+    // are selected, mirroring the reference's compile-time choice.
     I2CRepeaterScope rep(t_.get(), 0x3018);
-    for (const auto& p : tuner_registry()) {
+    auto try_probe = [&](const TunerProbe& p) {
       uint8_t v = 0;
       if (t_->i2c_read(p.i2c_addr, p.id_reg, &v) == 0 && v == p.id_value) {
         tuner_.reset(p.factory(t_.get()));
         tuner_->initialise();
-        break;
+        return true;
       }
+      return false;
+    };
+    if (!prefer_.empty()) {
+      const TunerProbe* p = probe_by_name(prefer_.c_str());
+      if (p) try_probe(*p);
+    }
+    if (!tuner_) {
+      for (const auto& p : tuner_registry())
+        if (try_probe(p)) break;
     }
     if (!tuner_) return -1;
     set_sample_rate(2.048e6);
@@ -490,6 +750,7 @@ class Demod {
   }
 
   std::unique_ptr<Transport> t_;
+  std::string prefer_;
   std::unique_ptr<Tuner> tuner_;
   double rate_ = 2.048e6, ppm_ = 0.0;
   std::atomic<bool> running_{false};
@@ -508,12 +769,25 @@ class Demod {
 // ---------------------------------------------------------------------------
 extern "C" {
 
+static const char* kTunerNames[] = {"e4000", "r820t", "e4k",
+                                    "fc0012", "fc0013", "fc2580"};
+static const rtl::TunerProbe* tuner_probe_for_id(int tuner) {
+  if (tuner < 0 || tuner >= (int)(sizeof(kTunerNames) / sizeof(char*)))
+    return nullptr;
+  return rtl::probe_by_name(kTunerNames[tuner]);
+}
+
+int rtl_tuner_count() { return sizeof(kTunerNames) / sizeof(char*); }
+const char* rtl_tuner_id_name(int tuner) {
+  return tuner >= 0 && tuner < rtl_tuner_count() ? kTunerNames[tuner] : "";
+}
+
 void* rtl_open_sim(double tone_offset, double amplitude, double noise,
                    uint64_t seed, int tuner) {
-  uint8_t addr = tuner == 1 ? rtl::TunerR820Class::kAddr
-                            : rtl::TunerE4000Class::kAddr;
+  const rtl::TunerProbe* p = tuner_probe_for_id(tuner);
+  if (!p) return nullptr;
   auto* d = new rtl::Demod(std::make_unique<rtl::SimTransport>(
-      addr, tone_offset, amplitude, noise, seed));
+      *p, tone_offset, amplitude, noise, seed), p->name);
   if (d->initialise() != 0) {
     delete d;
     return nullptr;
@@ -522,11 +796,11 @@ void* rtl_open_sim(double tone_offset, double amplitude, double noise,
 }
 
 void* rtl_open_file(const char* path, int tuner) {
-  uint8_t addr = tuner == 1 ? rtl::TunerR820Class::kAddr
-                            : rtl::TunerE4000Class::kAddr;
-  auto ft = std::make_unique<rtl::FileTransport>(path, addr);
+  const rtl::TunerProbe* p = tuner_probe_for_id(tuner);
+  if (!p) return nullptr;
+  auto ft = std::make_unique<rtl::FileTransport>(path, *p);
   if (!ft->ok()) return nullptr;
-  auto* d = new rtl::Demod(std::move(ft));
+  auto* d = new rtl::Demod(std::move(ft), p->name);
   if (d->initialise() != 0) {
     delete d;
     return nullptr;

@@ -28,6 +28,45 @@ def test_e4000_probe():
     d.close()
 
 
+def test_all_six_tuner_models_probe_and_tune():
+    """Every tuner family from the reference stack must probe + tune.
+
+    Mirrors the 6 drivers at reference lib/rtl2832-tuner_*.cc; the
+    same-I2C-address pair (fc0012 id 0xa1 vs fc0013 id 0xa3) must
+    disambiguate by identification value.
+    """
+    from grbaz_tpu.io.rtl_source import TUNER_IDS
+    for name in TUNER_IDS:
+        d = RTLSource(transport="sim", tuner=name, rate=2.048e6)
+        assert d.tuner_name() == name, name
+        assert d.freq(300e6)
+        # PLL error small; fc2580 rounds to exact kHz by design
+        tol = 1000.0 if name != "fc2580" else 0.5
+        assert abs(d.freq() - 300e6) < tol, (name, d.freq())
+        r = d.gain_range()
+        assert r.stop > r.start
+        assert d.set_gain_mode(True)
+        assert d.gain(0.5 * (r.start + r.stop))
+        assert r.start <= d.gain() <= r.stop
+        d.close()
+
+
+def test_discrete_gain_table_snapping():
+    """Fitipower tuners expose discrete gain points; sets snap to them."""
+    d = RTLSource(transport="sim", tuner="fc0013", rate=2.048e6)
+    d.set_gain_mode(True)
+    d.gain(18.0)
+    assert d.gain() == pytest.approx(19.1)  # nearest of {-6.3,7.1,19.1,19.7}
+    d.gain(-20.0)
+    assert d.gain() == pytest.approx(-6.3)
+    d.close()
+    d = RTLSource(transport="sim", tuner="fc0012", rate=2.048e6)
+    d.set_gain_mode(True)
+    d.gain(6.0)
+    assert d.gain() == pytest.approx(5.0)  # nearest of {0,5,10}
+    d.close()
+
+
 def test_sample_rate_programming(dev):
     # exact rational ratio vs the 28.8 MHz crystal: actual differs from
     # requested but stays within the register resolution
