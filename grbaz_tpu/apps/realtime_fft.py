@@ -94,29 +94,9 @@ def main(argv=None):
     return 0
 
 
-def _write_image(path: str, rgb: np.ndarray):
-    """PNG via pure-python zlib encoder (no imaging deps), PPM fallback."""
-    try:
-        import zlib
-        import struct as st
-        h, w, _ = rgb.shape
-        raw = b"".join(b"\x00" + rgb[i].astype(np.uint8).tobytes()
-                       for i in range(h))
-
-        def chunk(tag, data):
-            c = st.pack(">I", len(data)) + tag + data
-            return c + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-
-        png = (b"\x89PNG\r\n\x1a\n"
-               + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-               + chunk(b"IDAT", zlib.compress(raw, 6))
-               + chunk(b"IEND", b""))
-        with open(path, "wb") as f:
-            f.write(png)
-    except Exception:
-        with open(path, "wb") as f:
-            f.write(b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0]))
-            f.write(rgb.astype(np.uint8).tobytes())
+def _write_image(path: str, rgb):
+    from grbaz_tpu.viz.export import write_image
+    write_image(path, rgb)
 
 
 if __name__ == "__main__":

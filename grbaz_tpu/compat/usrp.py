@@ -1,0 +1,199 @@
+"""Legacy ``usrp.*`` API shim (python/usrp.py:21-362 + python/usrp/).
+
+The reference re-implements the pre-UHD USRP Python API on top of UHD
+so ancient apps run unmodified; this module re-implements the same API
+surface on top of *this framework's* Device layer (net/devices.py — a
+synthetic, file, RTL or BorIP-remote device), so apps written against
+the legacy idiom (``source_c``, ``set_decim_rate``, ``u.tune(0, subdev,
+f)``, ``subdev.set_gain``) keep working.
+
+Legacy conventions preserved: a 64 MHz ADC clock (python/borip.py:117)
+with sample rate = adc_freq / decim_rate, tune results split into
+baseband / DDC / residual components, and subdevice objects owning
+gain/antenna state.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from grbaz_tpu.net.devices import Device, SyntheticDevice
+
+ADC_FREQ = 64e6  # legacy USRP1 ADC clock assumed by old apps
+
+
+class tune_result:
+    def __init__(self, baseband_freq=0.0, dxc_freq=0.0, residual_freq=0.0,
+                 inverted=False):
+        self.baseband_freq = baseband_freq
+        self.dxc_freq = dxc_freq
+        self.residual_freq = residual_freq
+        self.inverted = inverted
+
+    def __str__(self):
+        return ("baseband=%f dxc=%f residual=%f inverted=%s"
+                % (self.baseband_freq, self.dxc_freq, self.residual_freq,
+                   self.inverted))
+
+
+class subdevice:
+    """A legacy daughterboard subdevice view over the Device gains."""
+
+    def __init__(self, dev: Device, side: str = "A"):
+        self._dev = dev
+        self.side = side
+
+    def name(self) -> str:
+        return self._dev.name()
+
+    def dbid(self) -> int:
+        return 0x000F  # generic
+
+    def gain_range(self):
+        r = self._dev.gain_range()
+        return (r.start, r.stop, r.step)
+
+    def set_gain(self, g: float) -> bool:
+        return bool(self._dev.gain(g))
+
+    def gain(self) -> float:
+        return float(self._dev.gain())
+
+    def set_auto_tr(self, enable: bool) -> bool:
+        return True
+
+    def select_rx_antenna(self, antenna: str) -> bool:
+        return bool(self._dev.antenna(antenna))
+
+    def freq_range(self):
+        return (0.0, 2.2e9, 1.0)
+
+
+def pick_subdev(u, candidates=()):
+    return (0, 0)
+
+
+def pick_rx_subdevice(u):
+    return (0, 0)
+
+
+def determine_rx_mux_value(u, subdev_spec, subdev_spec_b=None):
+    return 0x10
+
+
+def selected_subdev(u, subdev_spec):
+    return u.selected_subdev(subdev_spec)
+
+
+def tune(u, unit, subdev, freq):
+    return u.tune(unit, subdev, freq)
+
+
+class source_c:
+    """Legacy complex source: wraps any framework Device.
+
+    ``decim_rate`` maps onto the device sample rate as adc_freq/decim
+    (the legacy rate model); ``tune`` produces the legacy split tune
+    result where the DDC offset is the part the front-end could not
+    reach (here: the PLL residual).
+    """
+
+    def __init__(self, which: int = 0, decim_rate: int = 256,
+                 nchan: int = 1, adc_freq: float = ADC_FREQ,
+                 device: Optional[Device] = None):
+        self._dev = device if device is not None else SyntheticDevice()
+        self._adc_freq = float(adc_freq)
+        self._decim = max(int(decim_rate), 1)
+        self._apply_rate()
+        self._subdevs = [subdevice(self._dev, "A"),
+                         subdevice(self._dev, "B")]
+        self._last_tune: Optional[tune_result] = None
+
+    # -- rate model -----------------------------------------------------------
+    def _apply_rate(self):
+        self._dev.sample_rate(self._adc_freq / self._decim)
+
+    def adc_freq(self) -> float:
+        return self._adc_freq
+
+    def adc_rate(self) -> float:
+        return self._adc_freq
+
+    def decim_rate(self) -> int:
+        return self._decim
+
+    def set_decim_rate(self, decim: int) -> bool:
+        self._decim = max(int(decim), 1)
+        self._apply_rate()
+        return True
+
+    def converter_rate(self) -> float:
+        return self._adc_freq
+
+    # -- tuning ---------------------------------------------------------------
+    def tune(self, unit, subdev, freq: float) -> Optional[tune_result]:
+        if not self._dev.freq(freq):
+            return None
+        actual = self._dev.freq()
+        tr = tune_result(baseband_freq=actual,
+                         dxc_freq=freq - actual,
+                         residual_freq=actual - freq)
+        self._last_tune = tr
+        return tr
+
+    def set_rx_freq(self, channel: int, freq: float) -> bool:
+        return self.tune(channel, None, freq) is not None
+
+    def rx_freq(self, channel: int = 0) -> float:
+        return float(self._dev.freq())
+
+    # -- mux / subdev glue ------------------------------------------------------
+    def set_mux(self, mux: int) -> bool:
+        return True
+
+    def pick_rx_subdevice(self):
+        return (0, 0)
+
+    def determine_rx_mux_value(self, subdev_spec, subdev_spec_b=None):
+        return 0x10
+
+    def selected_subdev(self, subdev_spec) -> subdevice:
+        side = 0 if not subdev_spec else int(subdev_spec[0])
+        return self._subdevs[side % len(self._subdevs)]
+
+    # -- gain / misc legacy accessors -------------------------------------------
+    def set_pga(self, which: int, gain: float) -> bool:
+        return bool(self._dev.gain(gain))
+
+    def pga(self, which: int = 0) -> float:
+        return float(self._dev.gain())
+
+    def pga_min(self) -> float:
+        return self._dev.gain_range().start
+
+    def pga_max(self) -> float:
+        return self._dev.gain_range().stop
+
+    def serial_number(self) -> str:
+        return self._dev.serial()
+
+    def name(self) -> str:
+        return self._dev.name()
+
+    def db(self, side: int, which: int = 0) -> List[subdevice]:
+        return [self._subdevs[side % len(self._subdevs)]]
+
+    # -- streaming ---------------------------------------------------------------
+    def start(self) -> bool:
+        return self._dev.start()
+
+    def stop(self):
+        self._dev.stop()
+
+    def read_samples(self, n: int) -> np.ndarray:
+        return self._dev.read_samples(n)
+
+    def close(self):
+        self._dev.close()

@@ -113,3 +113,83 @@ def block_from_fn(fn: Callable = None, *, n_in: int = 1, n_out: int = 1,
     if fn is not None:
         return wrap(fn)
     return wrap
+
+
+class AnyBlock(Block):
+    """User-supplied kernel as a graph node — the "any block" escape
+    hatch (grc/baz_any_source/sink/block.xml + baz_any_code.xml let
+    users type raw maker / inline code into GRC; here the user supplies
+    the pure function directly).
+
+    ``fn(state, params, *ins) -> (state', Stream | (Stream, ...))`` runs
+    inside the compiled step like any built-in block; ``init_state`` /
+    ``init_params`` values (or zero-arg callables) supply the pytrees.
+    """
+
+    def __init__(self, fn: Callable, init_state=None, init_params=None,
+                 n_in: int = 1, n_out: int = 1, name: str | None = None):
+        super().__init__(name or getattr(fn, "__name__", "any"))
+        self.fn = fn
+        self._init_state = init_state
+        self._init_params = init_params
+        self.n_in = n_in
+        self.n_out = n_out
+
+    def init_state(self):
+        s = self._init_state
+        return s() if callable(s) else s
+
+    def init_params(self):
+        p = self._init_params
+        return p() if callable(p) else p
+
+    def apply(self, state, params, *ins: Stream):
+        state, outs = self.fn(state, params, *ins)
+        if isinstance(outs, Stream):
+            outs = (outs,)
+        return state, tuple(outs)
+
+
+def any_code(source: str, n_in: int = 1, n_out: int = 1,
+             name: str | None = None) -> Block:
+    """Inline-code evaluator (the baz_any_code.xml capability): build a
+    Block from a source string.
+
+    Two injection modes, mirroring the reference's expression/code modes:
+
+    * an *expression* over ``x`` (and ``jnp``/``np``) — becomes a
+      stateless elementwise block: ``any_code("jnp.abs(x) ** 2")``;
+    * a *code block* defining ``apply(state, params, *ins)`` and
+      optionally ``init_state()`` / ``init_params()`` — becomes a full
+      stateful AnyBlock.
+
+    The namespace provides ``jax``, ``jnp``, ``np`` and ``Stream``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ns = {"jax": jax, "jnp": jnp, "np": np, "Stream": Stream}
+    try:
+        code = compile(source, "<any_code>", "eval")
+        is_expr = True
+    except SyntaxError:
+        code = compile(source, "<any_code>", "exec")
+        is_expr = False
+
+    if is_expr:
+        def fn(*datas):
+            local = dict(ns)
+            local["x"] = datas[0]
+            for i, d in enumerate(datas):
+                local[f"x{i}"] = d
+            return eval(code, local)  # noqa: S307 — explicit escape hatch
+        fn.__name__ = name or "any_code"
+        return FnBlock(fn, n_in=n_in, n_out=n_out, name=name)
+
+    exec(code, ns)  # noqa: S102 — explicit escape hatch
+    if "apply" not in ns:
+        raise ValueError("any_code source must define apply(state, params, *ins)")
+    return AnyBlock(ns["apply"], init_state=ns.get("init_state"),
+                    init_params=ns.get("init_params"),
+                    n_in=n_in, n_out=n_out, name=name or "any_code")
