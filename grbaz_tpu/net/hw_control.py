@@ -165,3 +165,25 @@ def finite_acquisition(device, nsamps: int, skip: int = 0,
     finally:
         if not was_running:
             device.stop()
+
+
+def pps_diff(time_a, time_b=None, n: int = 10, interval: float = 1.0,
+             sleep=time.sleep):
+    """Measure PPS-latched time difference between two time sources
+    (apps/pps_diff.py equivalent: compares two devices' last-PPS times
+    to check GPSDO discipline).
+
+    ``time_a``/``time_b`` are callables returning the device's
+    seconds-at-last-PPS; ``time_b`` defaults to the host wall clock.
+    Returns per-sample diffs plus mean/std/drift (slope per interval).
+    """
+    time_b = time_b or time.time
+    diffs = []
+    for i in range(n):
+        diffs.append(float(time_a()) - float(time_b()))
+        if i + 1 < n:
+            sleep(interval)
+    d = np.asarray(diffs)
+    drift = float(np.polyfit(np.arange(n), d, 1)[0]) if n > 1 else 0.0
+    return dict(diffs=d, mean=float(d.mean()), std=float(d.std()),
+                drift_per_interval=drift)

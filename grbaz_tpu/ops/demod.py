@@ -131,3 +131,38 @@ class FMDeemphasis(Block):
         y = A * state["y_prev"] + B
         new_state = dict(y_prev=y[-1], x_prev=xd[-1])
         return new_state, (x.like(y, count=x.count),)
+
+
+# ---------------------------------------------------------------------------
+# AM envelope demod
+# ---------------------------------------------------------------------------
+
+class AMDemod(Block):
+    """AM envelope detector: |x| with carrier (DC) removal.
+
+    The carrier level is tracked by a single-pole lowpass (associative
+    scan) and subtracted, so the output is the modulation alone —
+    the demod stage of the reference's AM receive app
+    (/root/reference/apps/am_fft.py magnitude path).
+    """
+
+    def __init__(self, dc_alpha: float = 1e-3, gain: float = 1.0, name=None):
+        super().__init__(name)
+        self.alpha0 = float(dc_alpha)
+        self.gain0 = float(gain)
+
+    def init_state(self):
+        return dict(dc=np.float32(0.0))
+
+    def init_params(self):
+        return dict(alpha=np.float32(self.alpha0),
+                    gain=np.float32(self.gain0))
+
+    def apply(self, state, params, x: Stream):
+        env = jnp.abs(x.data).astype(jnp.float32)
+        a = jnp.full(env.shape, 1.0 - params["alpha"], jnp.float32)
+        A, B = jax.lax.associative_scan(
+            _affine_combine, (a, params["alpha"] * env))
+        dc = A * state["dc"] + B
+        y = (env - dc) * params["gain"]
+        return dict(dc=dc[-1]), (x.like(y, count=x.count),)
