@@ -274,6 +274,16 @@ def create_device(hint: str) -> Device:
         importlib.import_module(_LAZY_PROVIDERS[name])  # self-registers
         cls = DEVICE_REGISTRY.get(name)
     if cls is None:
+        # reference-convention plugin: a module named borip_<hint> that
+        # self-registers its device class on import
+        # (python/borip_server.py:760-790 dynamic import by hint)
+        import importlib
+        try:
+            importlib.import_module(f"borip_{name}")
+            cls = DEVICE_REGISTRY.get(name)
+        except ImportError:
+            pass
+    if cls is None:
         # dotted path escape hatch: "pkg.module:ClassName"
         if ":" in name:
             mod, clsname = hint.split()[0].split(":")

@@ -130,3 +130,27 @@ class MessageCallback:
 
     def stop(self):
         self._run = False
+
+
+class EventToMessage:
+    """Event arrays -> queue messages with an appended string
+    (baz_tag_to_msg equivalent, /root/reference/lib/baz_tag_to_msg.cc:
+    46-91: converts stream tags to msgq messages + fixed appendix).
+
+    Call ``post(events, count)`` with a block's event output; each valid
+    row becomes one message ``(formatted_row + appendix)`` on ``dst``.
+    """
+
+    def __init__(self, dst: "queue.Queue", appendix: str = "",
+                 formatter: Optional[Callable] = None):
+        self.dst = dst
+        self.appendix = appendix
+        self.formatter = formatter or (lambda row: str(list(row)))
+
+    def post(self, events, count=None) -> int:
+        import numpy as _np
+        ev = _np.asarray(events)
+        n = int(count) if count is not None else len(ev)
+        for row in ev[:n]:
+            self.dst.put(self.formatter(row) + self.appendix)
+        return n
