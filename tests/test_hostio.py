@@ -63,3 +63,70 @@ def test_tree_roundtrips():
     flat_out, _ = jax.tree_util.tree_flatten(dec)
     for a, b in zip(flat_in, flat_out):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_stream_pump_end_to_end():
+    """Feeder/runner pipeline: blocks flow source -> executor -> sinks."""
+    import time
+    import jax.numpy as jnp
+    from grbaz_tpu.core.executor import InputSpec, StreamExecutor
+    from grbaz_tpu.core.graph import Flowgraph
+    from grbaz_tpu.core.block import FnBlock
+    from grbaz_tpu.core.pump import StreamPump
+
+    n = 1024
+    fg = Flowgraph("pump_test")
+    sq = FnBlock(lambda x: (x * x).real.astype(jnp.float32), name="sq")
+    fg.input("iq", sq)
+    fg.output("power", sq)
+    ex = StreamExecutor(fg, {"iq": InputSpec((n,), "complex64", 1e6)})
+
+    fed = [0]
+
+    def source():
+        if fed[0] >= 8:
+            return None
+        fed[0] += 1
+        return {"iq": np.full(n, fed[0], np.complex64)}
+
+    got = []
+    pump = StreamPump(ex, source, {"power": lambda d, c: got.append(
+        (float(d[0]), int(c)))})
+    pump.start()
+    deadline = time.monotonic() + 20
+    while len(got) < 8 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    pump.stop()
+    assert len(got) >= 8
+    assert [g[0] for g in got[:8]] == [float(k * k) for k in range(1, 9)]
+    assert all(g[1] == n for g in got[:8])
+    st = pump.stats()
+    assert st["blocks_out"] >= 8 and st["overruns"] == 0
+
+
+def test_stream_pump_zero_fill_underrun():
+    """A dry source with zero_fill keeps blocks flowing (non_blocker)."""
+    import time
+    import jax.numpy as jnp
+    from grbaz_tpu.core.executor import InputSpec, StreamExecutor
+    from grbaz_tpu.core.graph import Flowgraph
+    from grbaz_tpu.core.block import FnBlock
+    from grbaz_tpu.core.pump import StreamPump
+
+    n = 256
+    fg = Flowgraph("pump_zero")
+    ident = FnBlock(lambda x: x, name="ident")
+    fg.input("iq", ident)
+    fg.output("out", ident)
+    ex = StreamExecutor(fg, {"iq": InputSpec((n,), "complex64", 1e6)})
+
+    got = []
+    pump = StreamPump(ex, lambda: None, {"out": lambda d, c: got.append(c)},
+                      zero_fill=True)
+    pump.start()
+    deadline = time.monotonic() + 20
+    while len(got) < 3 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    pump.stop()
+    assert len(got) >= 3
+    assert pump.stats()["underruns"] >= 3
