@@ -187,3 +187,74 @@ def pps_diff(time_a, time_b=None, n: int = 10, interval: float = 1.0,
     drift = float(np.polyfit(np.arange(n), d, 1)[0]) if n > 1 else 0.0
     return dict(diffs=d, mean=float(d.mean()), std=float(d.std()),
                 drift_per_interval=drift)
+
+
+class GPSDOMonitor:
+    """GPSDO / sensor monitor (apps/gpsdo.py equivalent).
+
+    The reference polls UHD motherboard sensors (gps_locked, gps_time,
+    ref_locked, NMEA strings) on an interval and logs them (optionally
+    to a time-series DB). Here the sensor source is any object with a
+    ``sensors() -> dict`` method (or a callable returning one); the
+    monitor keeps history, tracks lock transitions, and measures
+    gps_time-vs-host drift.
+    """
+
+    def __init__(self, source, interval: float = 1.0, keep: int = 3600,
+                 on_sample=None, now=time.time):
+        self._get = source.sensors if hasattr(source, "sensors") else source
+        self.interval = float(interval)
+        self.keep = int(keep)
+        self.on_sample = on_sample
+        self._now = now
+        self.history: list = []
+        self.lock_transitions: list = []
+        self._run = False
+        self._thr = None
+
+    def sample(self) -> dict:
+        vals = dict(self._get())
+        t = self._now()
+        vals["_host_time"] = t
+        if "gps_time" in vals:
+            vals["_gps_host_diff"] = float(vals["gps_time"]) - t
+        prev = self.history[-1] if self.history else {}
+        for key in ("gps_locked", "ref_locked"):
+            if key in vals and vals.get(key) != prev.get(key):
+                self.lock_transitions.append((t, key, vals[key]))
+        self.history.append(vals)
+        if len(self.history) > self.keep:
+            self.history.pop(0)
+        if self.on_sample:
+            self.on_sample(vals)
+        return vals
+
+    def drift(self) -> float:
+        """gps-vs-host drift (seconds per sample interval) over history."""
+        d = [h["_gps_host_diff"] for h in self.history
+             if "_gps_host_diff" in h]
+        if len(d) < 2:
+            return 0.0
+        return float(np.polyfit(np.arange(len(d)), np.asarray(d), 1)[0])
+
+    def start(self):
+        if self._run:
+            return
+        self._run = True
+
+        def loop():
+            while self._run:
+                try:
+                    self.sample()
+                except Exception:
+                    pass
+                time.sleep(self.interval)
+
+        self._thr = threading.Thread(target=loop, daemon=True)
+        self._thr.start()
+
+    def stop(self):
+        self._run = False
+        if self._thr is not None:
+            self._thr.join(timeout=self.interval + 1)
+            self._thr = None

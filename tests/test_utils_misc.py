@@ -97,3 +97,27 @@ def test_borip_plugin_import(tmp_path, monkeypatch):
     assert d.name() == "FakeRadio9000"
     d.close()
     sys.modules.pop("borip_fakeradio", None)
+
+
+def test_gpsdo_monitor():
+    from grbaz_tpu.net.hw_control import GPSDOMonitor
+    t = [1000.0]
+    state = dict(locked=False)
+
+    def sensors():
+        # gps time runs 1 ppm fast relative to host
+        return dict(gps_time=t[0] * (1 + 1e-6), gps_locked=state["locked"],
+                    ref_locked=True)
+
+    mon = GPSDOMonitor(sensors, now=lambda: t[0])
+    for i in range(10):
+        if i == 3:
+            state["locked"] = True
+        mon.sample()
+        t[0] += 1.0
+    # drift: 1 ppm of 1 s interval = 1e-6 s/sample
+    assert mon.drift() == pytest.approx(1e-6, rel=0.05)
+    kinds = [(k, v) for _, k, v in mon.lock_transitions]
+    assert ("gps_locked", False) in kinds   # first sample records state
+    assert ("gps_locked", True) in kinds    # the lock transition
+    assert len(mon.history) == 10
