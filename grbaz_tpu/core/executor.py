@@ -90,6 +90,9 @@ class StreamExecutor:
             return states, meta
 
         self._init_jit = jax.jit(_init_carry)
+        # observability counters (SURVEY §5: structured counters on the
+        # host executor replacing per-block verbose printf)
+        self.stats = dict(steps=0, samples_in=0, wall_time=0.0)
 
     # -- lifecycle ---------------------------------------------------------
     def reset(self):
@@ -120,6 +123,8 @@ class StreamExecutor:
             c = np.int32((counts or {}).get(name, x.shape[0]))
             cenc, _ = hostio.host_encode(c)
             counts_enc[name] = cenc
+        import time as _time
+        _t0 = _time.monotonic()
         self._states, outs_enc = self._io_step(
             self._states, params_enc, ins_enc, counts_enc)
         result = {}
@@ -129,7 +134,32 @@ class StreamExecutor:
             count = int(hostio.host_decode(np.asarray(oe["count"]),
                                            hostio.IOSpec("int32", ())))
             result[name] = (data, count)
+        self.stats["steps"] += 1
+        self.stats["samples_in"] += sum(
+            int((counts or {}).get(n, np.asarray(ins[n]).shape[0]))
+            for n in self._in_specs)
+        self.stats["wall_time"] += _time.monotonic() - _t0
         return result
+
+    def throughput(self) -> float:
+        """Host-observed samples/s over all steps so far."""
+        return (self.stats["samples_in"] / self.stats["wall_time"]
+                if self.stats["wall_time"] else 0.0)
+
+    def profile(self, log_dir: str):
+        """Context manager: capture an XLA profiler trace of the steps
+        run inside it (viewable in TensorBoard / xprof)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            jax.profiler.start_trace(log_dir)
+            try:
+                yield self
+            finally:
+                jax.profiler.stop_trace()
+
+        return _ctx()
 
     def run(self, blocks: Iterable[Dict[str, np.ndarray]]):
         """Generator over an iterator of input-block dicts."""

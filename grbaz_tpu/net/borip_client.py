@@ -44,6 +44,17 @@ class RemoteDevice:
         if device_hint:
             self.select_device(device_hint)
 
+    @classmethod
+    def from_config(cls, **overrides) -> "RemoteDevice":
+        """Build from the [borip] config section (files/env/overrides) —
+        the reference's prefs-driven client construction (borip.py:46-67)."""
+        from grbaz_tpu.core.config import BorIPConfig, load_config
+        cfg = load_config(BorIPConfig, "borip", **overrides)
+        if not cfg.server:
+            raise ValueError("[borip] server not configured")
+        host, _, port = cfg.server.partition(":")
+        return cls(host, port=int(port) if port else cfg.default_port)
+
     # -- control plane --------------------------------------------------------
     def _connect(self):
         s = socket.create_connection((self.host, self.port), self.timeout)

@@ -88,3 +88,27 @@ def test_partial_final_block():
     # roughly half the usual audio out
     full = ex.reset().step({"iq": x})["audio"][1]
     assert count < full
+
+
+def test_executor_stats_and_profile(tmp_path):
+    import jax.numpy as jnp
+    from grbaz_tpu.core.block import FnBlock
+    from grbaz_tpu.core.executor import InputSpec, StreamExecutor
+    from grbaz_tpu.core.graph import Flowgraph
+
+    n = 512
+    fg = Flowgraph("stats")
+    blk = FnBlock(lambda x: x * 2.0, name="x2")
+    fg.input("iq", blk)
+    fg.output("out", blk)
+    ex = StreamExecutor(fg, {"iq": InputSpec((n,), "complex64", 1e6)})
+    with ex.profile(str(tmp_path / "trace")):
+        for _ in range(3):
+            ex.step({"iq": np.zeros(n, np.complex64)})
+    assert ex.stats["steps"] == 3
+    assert ex.stats["samples_in"] == 3 * n
+    assert ex.throughput() > 0
+    # the profiler must have written a trace
+    import os
+    found = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "no profiler output written"

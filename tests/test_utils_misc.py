@@ -121,3 +121,21 @@ def test_gpsdo_monitor():
     assert ("gps_locked", False) in kinds   # first sample records state
     assert ("gps_locked", True) in kinds    # the lock transition
     assert len(mon.history) == 10
+
+
+def test_config_layer(tmp_path, monkeypatch):
+    from grbaz_tpu.core.config import BorIPConfig, load_config
+    conf = tmp_path / "config.conf"
+    conf.write_text("[borip]\nserver = radio.local:1234\n"
+                    "reconnect_attempts = 7\nverbose = yes\n")
+    monkeypatch.setenv("GRBAZ_CONFIG", str(conf))
+    cfg = load_config(BorIPConfig, "borip")
+    assert cfg.server == "radio.local:1234"
+    assert cfg.reconnect_attempts == 7 and cfg.verbose is True
+    assert cfg.keepalive_interval == 5.0  # schema default
+    # env override beats the file; kwargs beat both
+    monkeypatch.setenv("GRBAZ_BORIP_RECONNECT_ATTEMPTS", "3")
+    cfg = load_config(BorIPConfig, "borip")
+    assert cfg.reconnect_attempts == 3
+    cfg = load_config(BorIPConfig, "borip", reconnect_attempts=9)
+    assert cfg.reconnect_attempts == 9
