@@ -197,3 +197,130 @@ class source_c:
 
     def close(self):
         self._dev.close()
+
+
+# ---------------------------------------------------------------------------
+# simple_usrp / dual_usrp convenience layer
+# (python/usrp/simple_usrp.py:27-70, python/usrp/dual_usrp.py:27-76,
+#  python/usrp/common.py:27-55): one- and two-daughterboard views with
+# set_decim_rate / set_frequency[_a/_b] / set_gain[_a/_b] idioms.
+# ---------------------------------------------------------------------------
+
+class simple_source_c:
+    """Single-subdevice view (python/usrp/simple_usrp.py:27-70)."""
+
+    def __init__(self, which: int = 0, side: str = "A", rx_ant: str = "RXA",
+                 no_hb: bool = False, device: Optional[Device] = None):
+        self._u = source_c(which, device=device)
+        self._side = 0 if side.upper() == "A" else 1
+        self._subdev = self._u.db(self._side)[0]
+        self._subdev.select_rx_antenna(rx_ant)
+        self._no_hb = no_hb
+
+    def _get_u(self):
+        return self._u
+
+    def get_decim_rates(self):
+        # halfband-less mode restricts to multiples of 4 (reference :40-43)
+        step = 4 if self._no_hb else 2
+        return list(range(step, 257, step))
+
+    def set_decim_rate(self, decim: int):
+        return self._u.set_decim_rate(int(decim))
+
+    def set_frequency(self, frequency: float, verbose: bool = False,
+                      lo_offset=None):
+        tr = self._u.tune(0, self._subdev, float(frequency))
+        return tr is not None
+
+    def set_gain(self, gain: float):
+        return self._subdev.set_gain(gain)
+
+    def set_enable(self, enable: bool):
+        return True
+
+    def set_auto_tr(self, auto_tr: bool):
+        return self._subdev.set_auto_tr(auto_tr)
+
+    def start(self):
+        return self._u.start()
+
+    def stop(self):
+        self._u.stop()
+
+    def read_samples(self, n: int) -> np.ndarray:
+        return self._u.read_samples(n)
+
+
+class dual_source_c:
+    """Two-subdevice (A+B) view (python/usrp/dual_usrp.py:27-76).
+
+    Each side owns its own frequency/gain; samples interleave as two
+    channels — here exposed as a [n, 2] complex array (channel-major
+    idiom of the multi-channel ingest path).
+    """
+
+    def __init__(self, which: int = 0, rx_ant_a: str = "RXA",
+                 rx_ant_b: str = "RXA", rx_source_a: str = "A",
+                 rx_source_b: str = "B",
+                 device_a: Optional[Device] = None,
+                 device_b: Optional[Device] = None):
+        self._ua = source_c(which, device=device_a)
+        self._ub = source_c(which, device=device_b)
+        self._subdev_a = self._ua.db(0)[0]
+        self._subdev_b = self._ub.db(1)[0]
+        self._subdev_a.select_rx_antenna(rx_ant_a)
+        self._subdev_b.select_rx_antenna(rx_ant_b)
+
+    def _get_u(self):
+        return self._ua
+
+    def set_decim_rate(self, decim: int):
+        ok = self._ua.set_decim_rate(int(decim))
+        return self._ub.set_decim_rate(int(decim)) and ok
+
+    def set_frequency_a(self, frequency: float, verbose: bool = False,
+                        lo_offset=None):
+        return self._ua.tune(0, self._subdev_a, float(frequency)) is not None
+
+    def set_frequency_b(self, frequency: float, verbose: bool = False,
+                        lo_offset=None):
+        return self._ub.tune(0, self._subdev_b, float(frequency)) is not None
+
+    def set_gain_a(self, gain: float):
+        return self._subdev_a.set_gain(gain)
+
+    def set_gain_b(self, gain: float):
+        return self._subdev_b.set_gain(gain)
+
+    def start(self):
+        return self._ua.start() and self._ub.start()
+
+    def stop(self):
+        self._ua.stop()
+        self._ub.stop()
+
+    def read_samples(self, n: int) -> np.ndarray:
+        a = self._ua.read_samples(n)
+        b = self._ub.read_samples(n)
+        m = min(len(a), len(b))
+        return np.stack([a[:m], b[:m]], axis=1)
+
+
+# Daughterboard IDs used by legacy apps (python/usrpm/usrp_dbid.py —
+# generated constants; the handful old flowgraphs actually test for):
+class usrp_dbid:
+    BASIC_TX = 0x0000
+    BASIC_RX = 0x0001
+    DBS_RX = 0x0002
+    TV_RX = 0x0003
+    FLEX_400_RX = 0x0004
+    FLEX_900_RX = 0x0005
+    FLEX_1200_RX = 0x0006
+    FLEX_2400_RX = 0x0007
+    TV_RX_REV_2 = 0x000a
+    DTT754 = 0x000b
+    DTT768 = 0x000d
+    TV_RX_REV_3 = 0x000e
+    FLEX_1800_RX = 0x0030
+    LF_RX = 0x000f
