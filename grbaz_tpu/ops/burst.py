@@ -313,3 +313,158 @@ class NonBlocker(Block):
     def apply(self, state, params, x: Stream):
         y = x.masked_data()
         return state, (Stream(y, jnp.int32(x.data.shape[0]), x.meta),)
+
+
+def rx_time_of(s: Stream):
+    """Host-side rx_time extraction (python/rx_time.py:47-68 analog).
+
+    The reference block scans the stream for ``rx_time`` tags and stores
+    (whole seconds, fractional seconds) for the host; here time is exact
+    in StreamMeta, so this is a pure function of the stream: returns
+    ``(whole_seconds, fractional_seconds)`` of the block's first sample.
+    """
+    m = s.meta
+    abs_idx = (int(np.uint32(m.abs_hi)) << 32) | int(np.uint32(m.abs_lo))
+    t = float(m.epoch_frac) + abs_idx / float(m.sample_rate)
+    whole = int(m.epoch_sec) + int(t)
+    return whole, t - int(t)
+
+
+class BursterConfig:
+    """kwargs-style burster config (baz_burster_config,
+    /root/reference/lib/baz_burster_config.h:31-48; the SWIG layer
+    injects a Python kwargs ctor, swig/baz_swig.i:706-713 — mirrored
+    here directly).
+
+    Flags with no meaning in this runtime are kept for API parity and
+    noted: ``read_time_tag`` is always effectively true (time is exact
+    in StreamMeta); ``use_host_time`` stamping is done by the host
+    executor on event arrival (host clocks cannot exist inside a
+    compiled program); ``output_messages``/``msgq`` map to feeding the
+    event output into net/message_server.EventToMessage; ``drop_current``
+    is a host-queue policy.
+    """
+
+    def __init__(self, sample_rate: int = 1, item_size: int = 8,
+                 burst_length: int = 256, interval: float = 1.0,
+                 sample_interval: bool = False, relative_time: bool = False,
+                 drop_current: bool = False, use_host_time: bool = False,
+                 read_time_tag: bool = False, output_messages: bool = False,
+                 msgq=None, output_stream: bool = True,
+                 trigger_on_tags: bool = False, use_tag_lengths: bool = False,
+                 trigger_tags=(), length_tags=(), eob_tags=(),
+                 max_bursts: int = 16):
+        self.sample_rate = int(sample_rate)
+        self.item_size = int(item_size)
+        self.burst_length = int(burst_length)
+        self.interval = float(interval)
+        self.sample_interval = bool(sample_interval)
+        self.relative_time = bool(relative_time)
+        self.drop_current = bool(drop_current)
+        self.use_host_time = bool(use_host_time)
+        self.read_time_tag = bool(read_time_tag)
+        self.output_messages = bool(output_messages)
+        self.msgq = msgq
+        self.output_stream = bool(output_stream)
+        self.trigger_on_tags = bool(trigger_on_tags)
+        self.use_tag_lengths = bool(use_tag_lengths)
+        self.trigger_tags = list(trigger_tags)
+        self.length_tags = list(length_tags)
+        self.eob_tags = dict(eob_tags) if eob_tags else {}
+        self.max_bursts = int(max_bursts)
+
+    def interval_samples(self) -> int:
+        if self.sample_interval:
+            return max(int(self.interval), 1)
+        return max(int(round(self.interval * self.sample_rate)), 1)
+
+
+class Burster(Block):
+    """Stream -> timed bursts (baz_burster,
+    /root/reference/lib/baz_burster.h:83-120 burst_time arithmetic;
+    config lib/baz_burster_config.h:31-48).
+
+    Interval mode (default): a ``burst_length`` window is captured every
+    ``interval`` (seconds or samples — config.sample_interval), on the
+    absolute sample grid carried by StreamMeta, so bursts are placed
+    sample-exactly across block boundaries (a burst_length-1 history
+    carry covers windows opening in the previous block). Trigger mode
+    (config.trigger_on_tags): a second input carries a Gate/
+    NativeCallbackX event stream; each event row (rel_index, ..) opens a
+    burst, with per-burst lengths from the event's length field when
+    config.use_tag_lengths (masked against the static capacity).
+
+    Outputs:
+      0. burst frames ``[max_bursts, burst_length]`` (count = #bursts)
+      1. burst events ``[max_bursts, 4]``: (start_abs_hi, start_abs_lo,
+         length, interval_index) — the tx_time stamp rows, same
+         convention as :class:`Gate`.
+    """
+
+    n_out = 2
+
+    def __init__(self, config: BursterConfig, dtype=jnp.complex64,
+                 name=None):
+        super().__init__(name)
+        self.config = config
+        self.dtype = dtype
+        self.n_in = 2 if config.trigger_on_tags else 1
+
+    def init_state(self):
+        L = self.config.burst_length
+        return dict(hist=np.zeros((L,), self.dtype),
+                    # first not-yet-emitted start, relative to block
+                    # base; in [-L+1, inf)
+                    next_start=np.int32(0))
+
+    def init_params(self):
+        return dict(interval=np.int32(self.config.interval_samples()))
+
+    def apply(self, state, params, x: Stream, *trig):
+        cfg = self.config
+        L = cfg.burst_length
+        cap = cfg.max_bursts
+        n = x.capacity
+        ext = jnp.concatenate([state["hist"], x.data.astype(self.dtype)])
+
+        if cfg.trigger_on_tags:
+            ev = trig[0]
+            k = jnp.arange(cap, dtype=jnp.int32)
+            starts = ev.data[:cap, 0].astype(jnp.int32)
+            valid = (k < ev.count) & (starts + L <= n)
+            if cfg.use_tag_lengths and ev.data.shape[1] > 2:
+                lengths = jnp.clip(ev.data[:cap, 2].astype(jnp.int32), 0, L)
+            else:
+                lengths = jnp.full((cap,), L, jnp.int32)
+            next_start = state["next_start"]  # unused in trigger mode
+        else:
+            I = params["interval"]
+            ns = state["next_start"]
+            k = jnp.arange(cap, dtype=jnp.int32)
+            starts = ns + k * I
+            valid = starts + L <= n
+            lengths = jnp.full((cap,), L, jnp.int32)
+            # advance past every start emitted this block, then re-base
+            n_emit = jnp.maximum((n - L - ns) // I + 1, 0)
+            next_start = ns + n_emit * I - n
+
+        starts_c = jnp.clip(starts, -L, n)  # keep gathers in bounds
+
+        def grab(s):
+            return jax.lax.dynamic_slice(ext, (s + L,), (L,))
+
+        frames = jax.vmap(grab)(starts_c)
+        mask = (jnp.arange(L)[None, :] < lengths[:, None]) & valid[:, None]
+        frames = jnp.where(mask, frames, jnp.zeros((), self.dtype))
+        n_bursts = jnp.sum(valid.astype(jnp.int32))
+
+        lo_f = x.meta.abs_lo.astype(jnp.float32) + starts_c.astype(
+            jnp.float32)
+        rows = jnp.stack([
+            jnp.full((cap,), x.meta.abs_hi.astype(jnp.float32)),
+            lo_f, lengths.astype(jnp.float32), k.astype(jnp.float32)],
+            axis=1)
+        rows = jnp.where(valid[:, None], rows, 0.0)
+        new_state = dict(hist=ext[-L:], next_start=next_start)
+        return new_state, (Stream(frames, n_bursts, x.meta),
+                           Stream(rows, n_bursts, x.meta))
