@@ -15,14 +15,28 @@ Prints one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
+    # Persistent compilation cache: first run through the remote tunnel
+    # compiles in O(minutes); later runs (the driver's scoring run) hit
+    # the cache and start in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
     import jax
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
     from grbaz_tpu.core.stream import Stream, StreamMeta
@@ -50,10 +64,15 @@ def main():
     jit_step = jax.jit(step, donate_argnums=(0,))
 
     params = fg.init_params()
+    log(f"bench: backend={jax.default_backend()}, compiling init ...")
     states, ins = init_all()
+    jax.block_until_ready(states)
+    log("bench: init done, compiling chain step ...")
     # warmup / compile
+    t0 = time.time()
     states, outs = jit_step(states, params, ins)
     jax.block_until_ready(states)
+    log(f"bench: chain compiled+warm in {time.time() - t0:.1f}s, timing ...")
 
     reps = 50
     t0 = time.time()

@@ -19,6 +19,8 @@ PNGs, trace arrays, CSV — consumable by any modern viewer:
 from grbaz_tpu.viz.export import write_csv, write_image
 from grbaz_tpu.viz.sinks import (DoACompass, EyeSink, PlotSink, StaticText,
                                  TimePanel, WaterfallSink)
+from grbaz_tpu.viz.traffic import TrafficPane, duid_name
 
 __all__ = ["write_csv", "write_image", "WaterfallSink", "PlotSink",
-           "EyeSink", "DoACompass", "StaticText", "TimePanel"]
+           "EyeSink", "DoACompass", "StaticText", "TimePanel",
+           "TrafficPane", "duid_name"]

@@ -138,3 +138,34 @@ def test_des_ofb_roundtrip():
     ct = ofb_crypt(key, iv, msg)
     assert ct != msg
     assert ofb_crypt(key, iv, ct) == msg  # OFB is symmetric
+
+
+def test_traffic_pane_from_frame_events():
+    """Frame-sync events drive the traffic pane (op25_traffic_pane analog)."""
+    from grbaz_tpu.viz.traffic import (TrafficPane, duid_name,
+                                       frame_sync_events_to_attrs)
+    rng = np.random.default_rng(3)
+    dib = np.concatenate([
+        rng.integers(0, 4, 30).astype(np.uint8),
+        make_frame(nac=0x293, duid=0x5, payload_dibits=8, rng=rng),
+        make_frame(nac=0x293, duid=0xA, payload_dibits=8, rng=rng),
+    ])
+    blk = P25FrameSync(max_errors=0)
+    s, (ev,) = blk.apply(blk.init_state(), blk.init_params(), _stream(dib))
+    rows = _events(ev)
+    assert len(rows) == 2
+    seen = []
+    pane = TrafficPane(on_update=lambda f: seen.append(f["duid"]))
+    for attrs in frame_sync_events_to_attrs(rows[:, 1], rows[:, 2]):
+        pane.update(attrs)
+    snap = pane.snapshot()
+    assert snap["nac"] == "0x293" and snap["duid"] == "LDU2"
+    assert seen == ["LDU1", "LDU2"]
+    assert duid_name(0x5) == "LDU1"
+    # extra keys ignored, partial updates keep other fields
+    pane.update({"tgid": 101, "bogus": 1})
+    assert pane.snapshot()["tgid"] == "101"
+    assert pane.snapshot()["nac"] == "0x293"
+    assert len(pane.to_rows()) == 3
+    pane.clear()
+    assert all(v == "" for v in pane.snapshot().values())
