@@ -86,8 +86,11 @@ class PowerSquelch(Block):
             if jnp.iscomplexobj(x.data) else x.data * x.data
         n = p.shape[0]
         alpha = params["alpha"]
-        a = jnp.full((n,), 1.0 - alpha, jnp.float32)
-        b = p.astype(jnp.float32) * alpha
+        # Invalid tail samples (past x.count) are identity ops so they
+        # don't decay the carried average across partial blocks.
+        valid = x.valid_mask()
+        a = jnp.where(valid, 1.0 - alpha, 1.0).astype(jnp.float32)
+        b = jnp.where(valid, p.astype(jnp.float32) * alpha, 0.0)
         A, B = jax.lax.associative_scan(_affine_combine, (a, b))
         avg = A * state["avg"] + B
         gate = avg >= params["threshold"]
@@ -123,13 +126,24 @@ class FMDeemphasis(Block):
 
     def apply(self, state, params, x: Stream):
         xd = x.data.astype(jnp.float32)
-        x_sh = jnp.concatenate([state["x_prev"][None], xd[:-1]])
+        x_sh = jnp.concatenate([jnp.asarray(state["x_prev"],
+                                            jnp.float32)[None], xd[:-1]])
         ff = self.b[0] * xd + self.b[1] * x_sh
         n = xd.shape[0]
-        a = jnp.full((n,), self.a, jnp.float32)
+        # Identity ops past x.count: a partial block (e.g. the masked tail
+        # a fractional resampler always produces) must not decay y_prev —
+        # the IIR state carries to the next block as if the stream were
+        # contiguous (the reference's per-sample loop only ever sees
+        # valid samples).
+        valid = x.valid_mask()
+        a = jnp.where(valid, self.a, 1.0).astype(jnp.float32)
+        ff = jnp.where(valid, ff, 0.0)
         A, B = jax.lax.associative_scan(_affine_combine, (a, ff))
         y = A * state["y_prev"] + B
-        new_state = dict(y_prev=y[-1], x_prev=xd[-1])
+        idx = jnp.clip(x.count - 1, 0, n - 1)
+        new_state = dict(
+            y_prev=jnp.where(x.count > 0, y[idx], state["y_prev"]),
+            x_prev=jnp.where(x.count > 0, xd[idx], state["x_prev"]))
         return new_state, (x.like(y, count=x.count),)
 
 
@@ -160,9 +174,10 @@ class AMDemod(Block):
 
     def apply(self, state, params, x: Stream):
         env = jnp.abs(x.data).astype(jnp.float32)
-        a = jnp.full(env.shape, 1.0 - params["alpha"], jnp.float32)
-        A, B = jax.lax.associative_scan(
-            _affine_combine, (a, params["alpha"] * env))
+        valid = x.valid_mask()
+        a = jnp.where(valid, 1.0 - params["alpha"], 1.0).astype(jnp.float32)
+        b = jnp.where(valid, params["alpha"] * env, 0.0)
+        A, B = jax.lax.associative_scan(_affine_combine, (a, b))
         dc = A * state["dc"] + B
         y = (env - dc) * params["gain"]
         return dict(dc=dc[-1]), (x.like(y, count=x.count),)

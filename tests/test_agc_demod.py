@@ -107,3 +107,41 @@ def test_deemphasis_rolls_off_highs():
     # 75us -> corner ~2.1 kHz; 10 kHz should be ~12+ dB below 100 Hz
     assert g_lo > 0.9
     assert 20 * np.log10(g_hi / g_lo) < -10
+
+
+def run_partial(block, x, block_size, capacity):
+    """Stream x through in partial blocks: each device block has
+    `capacity` slots but only `block_size` valid samples (zero tail) —
+    the shape every rate-changing upstream (fractional resampler, gate)
+    produces."""
+    import jax.numpy as jnp
+    state, params = block.init_state(), block.init_params()
+    outs = []
+    for i in range(0, len(x), block_size):
+        chunk = x[i:i + block_size]
+        padded = np.zeros(capacity, chunk.dtype)
+        padded[:len(chunk)] = chunk
+        s = Stream(data=jnp.asarray(padded), count=jnp.int32(len(chunk)),
+                   meta=Stream.full(jnp.asarray(padded)).meta)
+        state, ys = block.apply(state, params, s)
+        outs.append(np.asarray(ys[0].data[:int(ys[0].count)]))
+    return np.concatenate(outs)
+
+
+def test_iir_blocks_partial_block_state_invariance():
+    """IIR state must chain across partial blocks exactly as if the
+    stream were contiguous (invalid tail samples are identity ops)."""
+    from grbaz_tpu.ops.demod import AMDemod
+    rng = np.random.default_rng(21)
+    n = 8192
+    xf = rng.standard_normal(n).astype(np.float32)
+    xc = (xf + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    for mk, x in [(lambda: FMDeemphasis(48e3, 75e-6), xf),
+                  (lambda: PowerSquelch(-30, 1e-3), xc),
+                  (lambda: AMDemod(1e-3), xc)]:
+        (y_full,) = run_streaming(mk(), x, 1024)
+        y_part = run_partial(mk(), x, 1024, capacity=2048)
+        np.testing.assert_array_equal(
+            y_full, y_part, err_msg=f"{mk().__class__.__name__} state "
+            "poisoned by invalid tail samples")

@@ -1,0 +1,140 @@
+"""Pipeline (stage-axis) parallelism vs the serial WBFM chain."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
+from grbaz_tpu.parallel.pipeline import StagePipeline, build_wbfm_pipeline
+from tests.conftest import snr_db
+
+
+def make_fm(n, fs, offset, tone=1e3, dev=75e3, seed=0):
+    t = np.arange(n) / fs
+    rng = np.random.default_rng(seed)
+    msg = np.sin(2 * np.pi * tone * t + rng.uniform(0, 6))
+    phase = 2 * np.pi * dev * np.cumsum(msg) / fs
+    return np.exp(1j * (2 * np.pi * offset * t + phase)).astype(np.complex64)
+
+
+def serial_audio(cfg, iq_blocks):
+    fg, _ = build_wbfm(cfg)
+    step = jax.jit(fg.build_step())
+    states, params = fg.init_states(), fg.init_params()
+    outs = []
+    for blk in iq_blocks:
+        s = Stream.full(jnp.asarray(blk), sample_rate=cfg.sample_rate)
+        states, o = step(states, params, {"iq": s})
+        a = o["audio"]
+        outs.append(np.asarray(a.data)[:int(a.count)])
+    return np.concatenate(outs)
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    return Mesh(devs, ("stage",))
+
+
+def test_wbfm_pipeline_matches_serial(mesh4):
+    cfg = WBFMConfig(block_size=4096)
+    M = 6
+    iq = make_fm(cfg.block_size * M, cfg.sample_rate, cfg.center_freq)
+    blocks = [iq[i * cfg.block_size:(i + 1) * cfg.block_size]
+              for i in range(M)]
+
+    ref = serial_audio(cfg, blocks)
+
+    pipe, encode, decode = build_wbfm_pipeline(cfg, mesh4)
+    mb = np.stack([encode(b) for b in blocks])
+    states = pipe.init_states()
+    states, out = pipe.run(states, mb)
+    got = np.concatenate([decode(np.asarray(out[m]))[0] for m in range(M)])
+
+    assert len(got) == len(ref)
+    # same ops, possibly different scan tree shapes (capacities differ)
+    assert snr_db(ref, got) > 100
+
+
+def test_wbfm_pipeline_state_chains_across_runs(mesh4):
+    """Two successive run() calls on contiguous input must splice with no
+    seam — carried stage states replicate back correctly."""
+    cfg = WBFMConfig(block_size=4096)
+    M = 4
+    iq = make_fm(cfg.block_size * M * 2, cfg.sample_rate, 0.0, seed=3)
+    blocks = [iq[i * cfg.block_size:(i + 1) * cfg.block_size]
+              for i in range(2 * M)]
+    ref = serial_audio(cfg, blocks)
+
+    pipe, encode, decode = build_wbfm_pipeline(cfg, mesh4)
+    states = pipe.init_states()
+    got = []
+    for half in (blocks[:M], blocks[M:]):
+        mb = np.stack([encode(b) for b in half])
+        states, out = pipe.run(states, mb)
+        got.extend(decode(np.asarray(out[m]))[0] for m in range(M))
+    got = np.concatenate(got)
+    assert len(got) == len(ref)
+    assert snr_db(ref, got) > 100
+
+
+def test_wbfm_pipeline_dp_x_pp():
+    """2 independent streams x 4 stages on the full 8-device mesh."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "stage"))
+    cfg = WBFMConfig(block_size=4096)
+    M = 4
+    streams = [make_fm(cfg.block_size * M, cfg.sample_rate, 0.0, seed=s,
+                       tone=800.0 * (s + 1)) for s in range(2)]
+    refs = [serial_audio(cfg, [s[i * cfg.block_size:(i + 1) * cfg.block_size]
+                               for i in range(M)]) for s in streams]
+
+    pipe, encode, decode = build_wbfm_pipeline(cfg, mesh, data_axis="data")
+    mb = np.stack([np.stack([encode(s[i * cfg.block_size:(i + 1) * cfg.block_size])
+                             for i in range(M)]) for s in streams])
+    states = pipe.init_states(batch=2)
+    states, out = pipe.run(states, mb)
+    for b in range(2):
+        got = np.concatenate([decode(np.asarray(out[b, m]))[0]
+                              for m in range(M)])
+        assert len(got) == len(refs[b])
+        assert snr_db(refs[b], got) > 100
+
+
+def test_generic_pipeline_simple_stages():
+    """The generic scheduler with trivial arithmetic stages is exact."""
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("stage",))
+
+    def s0(st, b):  # running offset += per-microbatch sum
+        return st + 1.0, b + st
+    def s1(st, b):
+        return st, b * 2.0
+    def s2(st, b):
+        return st + jnp.sum(b), b - 1.0
+    def s3(st, b):
+        return st, b + 0.5
+
+    pipe = StagePipeline([s0, s1, s2, s3],
+                         [np.float32(0), np.float32(0), np.float32(0),
+                          np.float32(0)], (8,), mesh)
+    M = 5
+    mb = np.arange(M * 8, dtype=np.float32).reshape(M, 8)
+    states, out = pipe.run(pipe.init_states(), mb)
+
+    # serial model
+    st0 = st2 = 0.0
+    exp = []
+    for m in range(M):
+        b = mb[m] + st0
+        st0 += 1.0
+        b = b * 2.0
+        st2 += b.sum()
+        b = b - 1.0
+        exp.append(b + 0.5)
+    np.testing.assert_allclose(out, np.stack(exp), rtol=1e-6)
+    np.testing.assert_allclose(states[0], st0)
+    np.testing.assert_allclose(states[2], st2, rtol=1e-6)
