@@ -75,3 +75,36 @@ def load_boripnet():
                                       c.c_uint32, c.c_uint32, c.c_uint32,
                                       c.c_uint32]
     return lib
+
+
+def load_tcpframe():
+    lib = load("tcpframe", ["tcpframe.cc"])
+    c = ctypes
+    lib.tcpf_src_create.restype = c.c_void_p
+    lib.tcpf_src_create.argtypes = [c.c_uint16, c.c_uint64]
+    lib.tcpf_src_port.restype = c.c_uint16
+    lib.tcpf_src_port.argtypes = [c.c_void_p]
+    lib.tcpf_src_read.restype = c.c_int64
+    lib.tcpf_src_read.argtypes = [c.c_void_p, c.POINTER(c.c_uint8),
+                                  c.c_int64, c.POINTER(c.c_uint64)]
+    lib.tcpf_src_next_tag.restype = c.c_int64
+    lib.tcpf_src_next_tag.argtypes = [c.c_void_p, c.POINTER(c.c_uint8),
+                                      c.c_int64, c.c_uint64,
+                                      c.POINTER(c.c_uint64)]
+    lib.tcpf_src_stats.argtypes = [c.c_void_p, c.POINTER(c.c_uint64),
+                                   c.POINTER(c.c_uint64),
+                                   c.POINTER(c.c_uint64),
+                                   c.POINTER(c.c_int), c.POINTER(c.c_int)]
+    lib.tcpf_src_destroy.argtypes = [c.c_void_p]
+    lib.tcpf_sink_create.restype = c.c_void_p
+    lib.tcpf_sink_create.argtypes = [c.c_char_p, c.c_uint16, c.c_int]
+    lib.tcpf_sink_send.restype = c.c_int
+    lib.tcpf_sink_send.argtypes = [c.c_void_p, c.c_uint8, c.c_uint8,
+                                   c.POINTER(c.c_uint8), c.c_uint64]
+    lib.tcpf_sink_connected.restype = c.c_int
+    lib.tcpf_sink_connected.argtypes = [c.c_void_p]
+    lib.tcpf_sink_stats.argtypes = [c.c_void_p, c.POINTER(c.c_uint64),
+                                    c.POINTER(c.c_uint64),
+                                    c.POINTER(c.c_uint64)]
+    lib.tcpf_sink_destroy.argtypes = [c.c_void_p]
+    return lib

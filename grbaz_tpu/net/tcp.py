@@ -196,3 +196,150 @@ class TCPFrameSource:
             self._listener.close()
         except OSError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# native engine variants (C++ hot path, grbaz_tpu/native/tcpframe.cc)
+# ---------------------------------------------------------------------------
+
+class NativeTCPFrameSink:
+    """Same protocol as :class:`TCPFrameSink`, framed sends in C++.
+
+    Use for bulk sample planes: the framing, socket writes and reconnect
+    logic run native; Python only hands over buffers.
+    """
+
+    def __init__(self, host: str, port: int, auto_reconnect: bool = False):
+        import ctypes
+        from grbaz_tpu import native
+        self._c = ctypes
+        self._lib = native.load_tcpframe()
+        self._h = self._lib.tcpf_sink_create(
+            host.encode(), port, 1 if auto_reconnect else 0)
+        if not self._h:
+            raise ConnectionError(f"cannot connect to {host}:{port}")
+
+    def _send(self, ftype: int, payload: bytes, flags: int = 0) -> bool:
+        c = self._c
+        buf = (c.c_uint8 * len(payload)).from_buffer_copy(payload) \
+            if payload else None
+        return bool(self._lib.tcpf_sink_send(
+            self._h, ftype, flags,
+            c.cast(buf, c.POINTER(c.c_uint8)) if buf else None,
+            len(payload)))
+
+    def send_samples(self, x: np.ndarray,
+                     tags: Optional[List[dict]] = None) -> bool:
+        if tags:
+            if not self._send(BT_TAGS, json.dumps(tags).encode()):
+                return False
+        return self._send(BT_DATA, np.ascontiguousarray(x).tobytes())
+
+    def end_stream(self):
+        self._send(BT_DATA, b"", flags=BF_STREAM_END)
+
+    def stats(self):
+        c = self._c
+        f, b, fail = c.c_uint64(), c.c_uint64(), c.c_uint64()
+        self._lib.tcpf_sink_stats(self._h, c.byref(f), c.byref(b),
+                                  c.byref(fail))
+        return dict(frames=f.value, bytes=b.value, send_failures=fail.value)
+
+    def close(self):
+        if self._h:
+            self._lib.tcpf_sink_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeTCPFrameSource:
+    """Listening receiver with the frame parser + data ring in C++.
+
+    ``read(max_items)`` drains up to ``max_items`` samples in bulk
+    (unlike the per-frame Python variant) and returns ``(samples,
+    tags)`` where tags is the list of tag dicts whose position precedes
+    the drained data (each annotated with its byte ``_offset`` into the
+    stream).
+    """
+
+    def __init__(self, port: int = 0, dtype=np.complex64,
+                 ring_bytes: int = 1 << 24):
+        import ctypes
+        from grbaz_tpu import native
+        self._c = ctypes
+        self._lib = native.load_tcpframe()
+        self.dtype = np.dtype(dtype)
+        self._h = self._lib.tcpf_src_create(port, ring_bytes)
+        if not self._h:
+            raise OSError(f"cannot listen on port {port}")
+        self.port = int(self._lib.tcpf_src_port(self._h))
+        self._pending = b""  # partial trailing item bytes
+
+    def read(self, max_items: int = 1 << 16):
+        c = self._c
+        want = max_items * self.dtype.itemsize - len(self._pending)
+        buf = (c.c_uint8 * max(want, 0))()
+        off = c.c_uint64()
+        n = self._lib.tcpf_src_read(
+            self._h, c.cast(buf, c.POINTER(c.c_uint8)), len(buf),
+            c.byref(off)) if want > 0 else 0
+        raw = self._pending + bytes(buf[:n])
+        n_items = len(raw) // self.dtype.itemsize
+        used = n_items * self.dtype.itemsize
+        self._pending = raw[used:]
+        samples = np.frombuffer(raw[:used], self.dtype)
+        # collect tags positioned before the end of what we just drained
+        tags = []
+        up_to = off.value + n
+        tbuf = (c.c_uint8 * 65536)()
+        while True:
+            toff = c.c_uint64()
+            tn = self._lib.tcpf_src_next_tag(
+                self._h, c.cast(tbuf, c.POINTER(c.c_uint8)), len(tbuf),
+                up_to, c.byref(toff))
+            if tn == 0:
+                break
+            if tn < 0:  # blob larger than 64k: grow
+                tbuf = (c.c_uint8 * (len(tbuf) * 4))()
+                continue
+            try:
+                blob = json.loads(bytes(tbuf[:tn]).decode())
+            except (ValueError, UnicodeDecodeError):
+                continue
+            for t in (blob if isinstance(blob, list) else [blob]):
+                if isinstance(t, dict):
+                    t["_offset"] = toff.value
+                    tags.append(t)
+        return samples, tags
+
+    def stream_ended(self) -> bool:
+        c = self._c
+        end, conn = c.c_int(), c.c_int()
+        self._lib.tcpf_src_stats(self._h, None, None, None, c.byref(end),
+                                 c.byref(conn))
+        return bool(end.value)
+
+    def stats(self):
+        c = self._c
+        f, b, o = c.c_uint64(), c.c_uint64(), c.c_uint64()
+        end, conn = c.c_int(), c.c_int()
+        self._lib.tcpf_src_stats(self._h, c.byref(f), c.byref(b),
+                                 c.byref(o), c.byref(end), c.byref(conn))
+        return dict(frames=f.value, bytes=b.value, ring_overruns=o.value,
+                    stream_end=bool(end.value), connected=bool(conn.value))
+
+    def close(self):
+        if self._h:
+            self._lib.tcpf_src_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

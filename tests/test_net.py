@@ -260,3 +260,120 @@ def test_tcp_source_accepts_reconnect():
     np.testing.assert_array_equal(seen[1], np.full(5, 2.0, np.float32))
     s2.close()
     src.close()
+
+
+# ---------------------------------------------------------------------------
+# native TCP frame engine (C++ tcpframe.cc) <-> Python protocol layer
+# ---------------------------------------------------------------------------
+
+def test_native_tcp_sink_to_native_source():
+    import time
+    from grbaz_tpu.net.tcp import NativeTCPFrameSink, NativeTCPFrameSource
+
+    src = NativeTCPFrameSource(port=0, dtype=np.complex64)
+    sink = NativeTCPFrameSink("127.0.0.1", src.port)
+    x1 = (np.arange(100) + 1j).astype(np.complex64)
+    x2 = (np.arange(100, 300) - 2j).astype(np.complex64)
+    assert sink.send_samples(x1, tags=[{"offset": 0, "tags": {"rx_freq": 100e6}}])
+    assert sink.send_samples(x2)
+    sink.end_stream()
+
+    got, tags = [], []
+    deadline = time.time() + 5
+    while time.time() < deadline and (sum(len(g) for g in got) < 300
+                                      or not src.stream_ended()):
+        s, t = src.read()
+        if len(s):
+            got.append(s)
+        tags.extend(t)
+        time.sleep(0.01)
+    y = np.concatenate(got) if got else np.zeros(0, np.complex64)
+    np.testing.assert_array_equal(y, np.concatenate([x1, x2]))
+    assert any(t.get("tags", {}).get("rx_freq") == 100e6 for t in tags)
+    assert src.stream_ended()
+    st = src.stats()
+    assert st["frames"] == 2 and st["bytes"] == 300 * 8
+    sink.close()
+    src.close()
+
+
+def test_native_tcp_interop_with_python_layer():
+    """Python TCPFrameSink -> native source, and native sink -> Python
+    TCPFrameSource: both directions speak the same wire format."""
+    import time
+    from grbaz_tpu.net.tcp import (NativeTCPFrameSink, NativeTCPFrameSource,
+                                   TCPFrameSink, TCPFrameSource)
+
+    # python -> native
+    nsrc = NativeTCPFrameSource(port=0, dtype=np.float32)
+    psink = TCPFrameSink("127.0.0.1", nsrc.port)
+    x = np.linspace(0, 1, 257, dtype=np.float32)
+    assert psink.send_samples(x, tags=[{"offset": 3, "tags": {"k": "v"}}])
+    got, tags = [], []
+    deadline = time.time() + 5
+    while time.time() < deadline and sum(len(g) for g in got) < len(x):
+        s, t = nsrc.read()
+        if len(s):
+            got.append(s)
+        tags.extend(t)
+        time.sleep(0.01)
+    np.testing.assert_array_equal(np.concatenate(got), x)
+    assert tags and tags[0]["tags"] == {"k": "v"}
+    psink.close()
+    nsrc.close()
+
+    # native -> python
+    psrc = TCPFrameSource(port=0, dtype=np.float32)
+    nsink = NativeTCPFrameSink("127.0.0.1", psrc.port)
+    assert nsink.send_samples(x, tags=[{"offset": 0, "tags": {"q": 7}}])
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        s, t = psrc.read()
+        if len(s):
+            np.testing.assert_array_equal(s, x)
+            assert t and t[0]["tags"] == {"q": 7}
+            break
+        time.sleep(0.01)
+    else:
+        raise AssertionError("python source never got the native frame")
+    nsink.close()
+    psrc.close()
+
+
+def test_native_tcp_sink_reconnect():
+    import time
+    from grbaz_tpu.net.tcp import NativeTCPFrameSink, NativeTCPFrameSource
+
+    src = NativeTCPFrameSource(port=0, dtype=np.float32)
+    port = src.port
+    sink = NativeTCPFrameSink("127.0.0.1", port, auto_reconnect=True)
+    x = np.ones(16, np.float32)
+    assert sink.send_samples(x)
+    time.sleep(0.2)
+    src.close()  # drop the receiver
+    time.sleep(0.2)
+    sink.send_samples(x)  # fails (maybe after a buffered success)
+    time.sleep(0.2)
+    for _ in range(5):
+        if not sink.send_samples(x):
+            break
+        time.sleep(0.1)
+    # bring a new receiver up on the same port; sink must reconnect
+    src2 = NativeTCPFrameSource(port=port, dtype=np.float32)
+    deadline = time.time() + 5
+    ok = False
+    while time.time() < deadline and not ok:
+        ok = sink.send_samples(x)
+        time.sleep(0.1)
+    assert ok, "sink never reconnected"
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        s, _ = src2.read()
+        if len(s):
+            np.testing.assert_array_equal(s, x)
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("no data after reconnect")
+    sink.close()
+    src2.close()
