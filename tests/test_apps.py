@@ -76,3 +76,28 @@ def test_am_fft_app(tmp_path, capsys):
     rate = struct.unpack("<I", data[24:28])[0]
     peak_hz = (np.argmax(spec[3:]) + 3) * rate / len(pcm)
     assert abs(peak_hz - 1000.0) < 60.0
+
+
+def test_gpsdo_app(capsys, tmp_path):
+    from grbaz_tpu.apps.gpsdo import main, parse_gps_servo
+    fifo = tmp_path / "gps.txt"
+    assert main(["-n", "6", "-i", "0.01", "-f", str(fifo)]) == 0
+    out = capsys.readouterr().out
+    assert "lock state -> Locked, and GPS active" in out
+    assert "health -> healthy" in out
+    assert "drift:" in out and "lock transitions" in out
+    assert len(fifo.read_text().strip().splitlines()) == 6
+
+    servo = parse_gps_servo("40000 31873.2 -4.5 2.1e-12 11 9 5 0x14")
+    assert servo["lock_state_str"].startswith("Holdover, but still")
+    assert servo["sats_visible"] == 11 and servo["sats_tracked"] == 9
+    assert "GPS in holdover > 60 s" in servo["health_flags"]
+    assert "phase offset to UTC > 250 ns" in servo["health_flags"]
+
+
+def test_pps_diff_app(capsys):
+    from grbaz_tpu.apps.pps_diff import main
+    assert main(["-n", "5"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("diff") >= 5
+    assert "drift" in out
