@@ -43,7 +43,11 @@ class Block:
     n_out: int = 1
 
     def __init__(self, name: str | None = None):
-        self.name = f"{name or type(self).__name__}_{next(_uid)}"
+        # An explicit name is used verbatim — it is the handle the
+        # control plane retunes through (``executor.params[name]``);
+        # Flowgraph.add rejects duplicates. Auto-names get a uid so
+        # anonymous blocks never collide.
+        self.name = name if name else f"{type(self).__name__}_{next(_uid)}"
 
     # -- state / params ----------------------------------------------------
     def init_state(self) -> Any:
@@ -71,7 +75,9 @@ class FnBlock(Block):
 
     def __init__(self, fn: Callable, n_in: int = 1, n_out: int = 1,
                  name: str | None = None, rate_scale: float = 1.0):
-        super().__init__(name or getattr(fn, "__name__", "fn"))
+        if name is None:  # derive an auto-name; keep it collision-free
+            name = f"{getattr(fn, '__name__', 'fn')}_{next(_uid)}"
+        super().__init__(name)
         self.fn = fn
         self.n_in = n_in
         self.n_out = n_out

@@ -109,6 +109,11 @@ class StreamExecutor:
             self.reset()
         if params is not None:
             self.params = params
+        unknown = set(self.params) - {b.name for b in self.graph.blocks}
+        if unknown:
+            raise KeyError(
+                f"params for unknown blocks {sorted(unknown)}; valid names: "
+                f"{sorted(b.name for b in self.graph.blocks)}")
         params_enc, pspecs = hostio.tree_host_encode(self.params)
         self._param_specs = pspecs
         ins_enc, counts_enc = {}, {}

@@ -38,6 +38,10 @@ class WBFMConfig:
     squelch_db: Optional[float] = None  # None = no squelch block
     deemph_tau: float = 75e-6
     block_size: int = 1 << 17
+    # rotated-taps channelizer: LO folded into complex taps + decimated
+    # output rotation (ops/fir.xlating_fir_decimate_frame) — same output,
+    # O(N/decim) instead of O(N) transcendentals on the VPU
+    rotate_taps: bool = True
 
 
 def build_wbfm(cfg: WBFMConfig):
@@ -54,7 +58,8 @@ def build_wbfm(cfg: WBFMConfig):
     chan = FreqXlatingFIRDecimator(
         low_pass_taps(1.0, fs, cfg.channel_width / 2 + cfg.transition / 2,
                       cfg.transition),
-        decim, cfg.center_freq, fs, name="channel")
+        decim, cfg.center_freq, fs, name="channel",
+        rotate_taps=cfg.rotate_taps)
     demod = QuadratureDemod(quad / (2 * np.pi * cfg.max_deviation))
     resamp = FractionalResampler(cfg.block_size // decim, quad / cfg.audio_rate,
                                  dtype=jnp.float32, name="resampler")

@@ -182,6 +182,81 @@ def fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
     return fir_decimate_frame_windows(frame, h_rev_pad, decim)
 
 
+def _fir_decimate_poly_ctaps(frame: jax.Array, g_rev_pad: jax.Array,
+                             decim: int) -> jax.Array:
+    """Polyphase decimating FIR with COMPLEX taps (complex frame).
+
+    Same band-sum construction as :func:`_fir_decimate_poly`, with the
+    four real contractions of (frame.re/.im) x (taps.re/.im) spelled out
+    so each is one MXU matmul.
+    """
+    tpad = g_rev_pad.shape[0]
+    n_phases = tpad // decim
+    n_out = (frame.shape[0] - (tpad - 1)) // decim
+    n_rows = n_out + n_phases
+    pad = n_rows * decim - frame.shape[0]
+    if pad > 0:
+        frame = jnp.concatenate([frame, jnp.zeros(pad, frame.dtype)])
+    z = frame[: n_rows * decim].reshape(n_rows, decim)
+    h2 = g_rev_pad.reshape(n_phases, decim)
+    hr = h2.real.astype(jnp.float32)
+    hi = h2.imag.astype(jnp.float32)
+
+    def mm(a, h):
+        return jnp.dot(a, h.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+    def band_sum(q):
+        return sum(jax.lax.dynamic_slice_in_dim(q[:, m], m, n_out)
+                   for m in range(n_phases))
+
+    xr, xi = z.real, z.imag
+    yr = band_sum(mm(xr, hr)) - band_sum(mm(xi, hi))
+    yi = band_sum(mm(xr, hi)) + band_sum(mm(xi, hr))
+    return jax.lax.complex(yr, yi)
+
+
+def xlating_fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
+                               decim: int, phase0: jax.Array,
+                               lo_inc: jax.Array) -> jax.Array:
+    """Frequency-translating decimating FIR via the rotated-taps identity.
+
+    Rotate-then-filter, ``y[k] = sum_t h[t] * (x[kD+T-1-t] * lo[kD+T-1-t])``
+    (T = len(h_rev_pad), frame carries T-1 history), factors as
+
+        y[k] = lo[kD + T - 1] * sum_t (h[t] * conj(lo_rel[t])) x[...]
+
+    i.e. filter with fixed complex taps ``g = h .* conj(lo ramp)`` and
+    rotate only the *decimated* output — the transcendental count drops
+    from O(N) (full-rate LO) to O(T + N/D), with the filter still pure
+    MXU matmuls. Phase stays the exact uint32 turn arithmetic of
+    ``ops.exact``: taps use the relative ramp, outputs use
+    ``phase0 + (kD + T - 1) * lo_inc``, so block chaining is identical
+    to the rotate-then-filter form (same lo values, f32 rounding aside).
+    """
+    tpad = h_rev_pad.shape[0]
+    n_out = (frame.shape[0] - (tpad - 1)) // decim
+    # complex taps: g[t] = h_rev[t] * conj(lo_rel[tpad-1-t]) -> with the
+    # reversed layout, tap index t multiplies sample (kD + t), whose LO
+    # exponent relative to the output sample (kD + tpad - 1) is
+    # (t - (tpad-1)) * inc.
+    t_idx = jnp.arange(tpad, dtype=jnp.uint32)
+    rel = (t_idx - jnp.uint32(tpad - 1)) * lo_inc.astype(jnp.uint32)
+    ang = exact.turns_u32_to_radians(rel)
+    g = h_rev_pad.astype(jnp.float32) * jax.lax.complex(jnp.cos(ang),
+                                                        jnp.sin(ang))
+    yf = _fir_decimate_poly_ctaps(frame, g, decim)
+    # decimated output rotation: lo at absolute sample (kD + tpad - 1);
+    # frame sample 0 is absolute stream offset -(tpad-1), so exponent =
+    # phase0 + kD * inc.
+    k = jnp.arange(n_out, dtype=jnp.uint32)
+    ph = phase0.astype(jnp.uint32) \
+        + k * (jnp.uint32(decim) * lo_inc.astype(jnp.uint32))
+    ang_o = exact.turns_u32_to_radians(ph)
+    lo_o = jax.lax.complex(jnp.cos(ang_o), jnp.sin(ang_o))
+    return yf * lo_o
+
+
 def prepare_taps(taps: Sequence[float], decim: int) -> np.ndarray:
     """Reverse and left-pad taps to a multiple of decim (see fir_decimate_frame)."""
     h = np.asarray(taps, dtype=np.float32)
@@ -235,10 +310,15 @@ class FreqXlatingFIRDecimator(Block):
     """
 
     def __init__(self, taps, decim: int, center_freq: float, sample_rate: float,
-                 dtype=jnp.complex64, name=None, use_pallas: bool = False):
+                 dtype=jnp.complex64, name=None, use_pallas: bool = False,
+                 rotate_taps: bool = False):
         super().__init__(name)
         self.decim = int(decim)
         self.use_pallas = use_pallas
+        # rotate_taps: filter with complex modulated taps and rotate only
+        # the decimated output (see xlating_fir_decimate_frame) — same
+        # result, O(N/decim) instead of O(N) transcendentals.
+        self.rotate_taps = bool(rotate_taps)
         self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
         # it as a literal (no device constant fetch at trace time)
         self.hist = self.h_rev_pad.shape[0] - 1
@@ -261,14 +341,26 @@ class FreqXlatingFIRDecimator(Block):
 
     def apply(self, state, params, x: Stream):
         n = x.data.shape[0]
-        lo, phase_after = exact.oscillator(n, state["phase"], params["lo_inc"])
-        xr = x.data * lo
-        frame = jnp.concatenate([state["tail"], xr])
-        if self.use_pallas:
-            from grbaz_tpu.ops.pallas import fir_decimate_frame_pallas
-            y = fir_decimate_frame_pallas(frame, self.h_rev_pad, self.decim)
+        if self.rotate_taps:
+            # tail carries UNROTATED samples; the LO lives in the taps +
+            # a decimated output rotation. Phase advances identically.
+            frame = jnp.concatenate([state["tail"], x.data])
+            y = xlating_fir_decimate_frame(frame, jnp.asarray(self.h_rev_pad),
+                                           self.decim, state["phase"],
+                                           params["lo_inc"])
+            phase_after = state["phase"].astype(jnp.uint32) \
+                + jnp.uint32(n) * params["lo_inc"].astype(jnp.uint32)
         else:
-            y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
+            lo, phase_after = exact.oscillator(n, state["phase"],
+                                               params["lo_inc"])
+            xr = x.data * lo
+            frame = jnp.concatenate([state["tail"], xr])
+            if self.use_pallas:
+                from grbaz_tpu.ops.pallas import fir_decimate_frame_pallas
+                y = fir_decimate_frame_pallas(frame, self.h_rev_pad,
+                                              self.decim)
+            else:
+                y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
         new_state = dict(
             tail=frame[-self.hist:] if self.hist else state["tail"],
             phase=phase_after)

@@ -112,3 +112,38 @@ def test_executor_stats_and_profile(tmp_path):
     import os
     found = [f for _, _, fs in os.walk(tmp_path) for f in fs]
     assert found, "no profiler output written"
+
+
+def test_executor_retune_by_block_name():
+    """The documented control plane: mutate ex.params[<explicit block
+    name>] between steps and the running graph obeys. Regression: block
+    names used to get a uid suffix, so this silently wrote a dead key."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from grbaz_tpu.core.block import Block
+    from grbaz_tpu.core.executor import InputSpec, StreamExecutor
+    from grbaz_tpu.core.graph import Flowgraph
+
+    class Gain(Block):
+        def init_params(self):
+            return dict(g=np.float32(1.0))
+
+        def apply(self, state, params, x):
+            return state, (x.like(x.data * params["g"]),)
+
+    fg = Flowgraph("t")
+    b = Gain(name="gain")
+    assert b.name == "gain"  # explicit names are verbatim
+    fg.input("x", b)
+    fg.output("y", b)
+    ex = StreamExecutor(fg, {"x": InputSpec((4,), "float32", 1.0)})
+    y1, _ = ex.step({"x": np.ones(4, np.float32)})["y"]
+    assert y1[0] == 1.0
+    ex.params["gain"] = dict(g=np.float32(7.0))
+    y2, _ = ex.step({"x": np.ones(4, np.float32)})["y"]
+    assert y2[0] == 7.0
+    # unknown keys are rejected, not silently ignored
+    ex.params["nonesuch"] = dict(g=np.float32(1.0))
+    with pytest.raises(KeyError):
+        ex.step({"x": np.ones(4, np.float32)})
