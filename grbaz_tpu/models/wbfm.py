@@ -40,8 +40,10 @@ class WBFMConfig:
     block_size: int = 1 << 17
     # rotated-taps channelizer: LO folded into complex taps + decimated
     # output rotation (ops/fir.xlating_fir_decimate_frame) — same output,
-    # O(N/decim) instead of O(N) transcendentals on the VPU
-    rotate_taps: bool = True
+    # O(N/decim) instead of O(N) transcendentals. Measured equal to the
+    # rotate-then-filter path on v5e (the chain is HBM-bound, not
+    # VPU-bound), so the simpler path stays the default.
+    rotate_taps: bool = False
 
 
 def build_wbfm(cfg: WBFMConfig):
