@@ -16,6 +16,7 @@ Prints one JSON line:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,6 +25,38 @@ import numpy as np
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def supervise():
+    """Run the measurement in a child process with timeout + retries.
+
+    The remote TPU attachment occasionally wedges at backend init
+    (observed: >25 min hangs that a fresh process after a cooldown
+    clears). The child does the real work; the parent enforces a
+    deadline and retries, forwarding the child's JSON line.
+    """
+    attempts = int(os.environ.get("GRBAZ_BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("GRBAZ_BENCH_TIMEOUT", "540"))
+    env = dict(os.environ, GRBAZ_BENCH_CHILD="1")
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-u", os.path.abspath(__file__)],
+                               env=env, timeout=timeout,
+                               stdout=subprocess.PIPE)
+            out = r.stdout.decode(errors="replace").strip().splitlines()
+            line = next((l for l in reversed(out) if l.startswith("{")), None)
+            if r.returncode == 0 and line:
+                print(line, flush=True)
+                return 0
+            log(f"bench: child attempt {attempt + 1} failed "
+                f"(rc={r.returncode})")
+        except subprocess.TimeoutExpired:
+            log(f"bench: child attempt {attempt + 1} timed out after "
+                f"{timeout:.0f}s (wedged attachment?)")
+        if attempt + 1 < attempts:
+            time.sleep(60)  # tunnel cooldown before a fresh process
+    log("bench: all attempts failed")
+    return 1
 
 
 def main():
@@ -95,4 +128,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GRBAZ_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(supervise())
