@@ -69,7 +69,7 @@ def main(argv=None):
             ph[0] += n
             period = int(args.rate / 5e3)
             x = np.where(k % period < 4, 1.0, 0.0)
-            return (x + 0.01 * np.random.randn(n)).astype(np.complex64)
+            return (x + 0.01 * np.random.default_rng(1234).standard_normal(n)).astype(np.complex64)
 
     rows = []
     while len(rows) < args.frames:

@@ -69,7 +69,7 @@ def main(argv=None):
             ph[0] += n
             x = (0.5 * np.exp(2j * np.pi * 0.1 * t)
                  + 0.05 * np.exp(2j * np.pi * -0.23 * t)
-                 + 0.01 * np.random.randn(n)).astype(np.complex64)
+                 + 0.01 * np.random.default_rng(1234).standard_normal(n)).astype(np.complex64)
             return x
 
     spectra, rasters = [], []

@@ -58,7 +58,7 @@ def main(argv=None):
             t = (ph[0] + np.arange(n)) / args.rate
             ph[0] += n
             x = sum(0.5 * np.exp(2j * np.pi * f * t) for f in active_stations)
-            x = x + 0.002 * (np.random.randn(n) + 1j * np.random.randn(n))
+            x = x + 0.002 * (np.random.default_rng(1234).standard_normal(n) + 1j * np.random.default_rng(4321).standard_normal(n))
             return x.astype(np.complex64)
 
     thr = 10 ** (args.threshold_db / 10.0)

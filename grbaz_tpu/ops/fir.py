@@ -182,6 +182,84 @@ def fir_decimate_frame(frame: jax.Array, h_rev_pad: jax.Array,
     return fir_decimate_frame_windows(frame, h_rev_pad, decim)
 
 
+def _fir_body_matrices(h_rev_pad: np.ndarray, decim: int):
+    """Tap matrices for the zero-copy body formulation (numpy, static).
+
+    With H = tpad-1 history samples, body output k = q + M satisfies
+
+        y[k] = sum_{m,p} h2[m,p] * x[(q+m)D + p + 1]
+
+    (the +1 comes from H = MD - 1). Column p+1 of the polyphase view
+    ``Zx[j, c] = x[jD + c]`` for p <= D-2, and column 0 of row q+m+1
+    for p = D-1. Both land in ONE matmul against ``[D, 2M]`` taps
+    (A: shifted columns, B: the wrap column) followed by 2M banded adds.
+    """
+    h2 = jnp.asarray(h_rev_pad, jnp.float32).reshape(-1, decim)  # [M, D]
+    M = h2.shape[0]
+    zrow = jnp.zeros((1, M), jnp.float32)
+    a = jnp.concatenate([zrow, h2[:, :decim - 1].T])   # A[c, m] = h2[m, c-1]
+    b = jnp.concatenate([h2[:, decim - 1][None, :],    # B[0, m] = h2[m, D-1]
+                         jnp.zeros((decim - 1, M), jnp.float32)])
+    return jnp.concatenate([a, b], axis=1)  # [D, 2M]
+
+
+def _fir_body_plane(xplane: jax.Array, ab: jax.Array, decim: int,
+                    n_phases: int) -> jax.Array:
+    """Body outputs from one real plane, zero-copy: the polyphase view
+    is an aligned reshape of the input block itself."""
+    n_rows = xplane.shape[0] // decim
+    z = xplane.reshape(n_rows, decim)
+    q = jnp.dot(z, ab, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # [n_rows, 2M]
+    n_body = n_rows - n_phases
+    out = jnp.zeros((n_body,), jnp.float32)
+    for m in range(n_phases):
+        out = out + jax.lax.dynamic_slice_in_dim(q[:, m], m, n_body)
+        out = out + jax.lax.dynamic_slice_in_dim(q[:, n_phases + m],
+                                                 m + 1, n_body)
+    return out
+
+
+def fir_decimate_tail_block(tail: jax.Array, x: jax.Array,
+                            h_rev_pad: jax.Array, decim: int) -> jax.Array:
+    """Decimating FIR over (carried tail, new block) WITHOUT forming the
+    concatenated frame.
+
+    ``tail`` holds the previous TPAD samples (one more than the filter
+    history — the extra sample makes the polyphase view of the head
+    align to the same widened tap matrix as the body). Values equal
+    ``fir_decimate_frame(concat([tail[1:], x]), h, decim)``; outputs
+    are bit-identical for every block size because head and body use
+    the identical term grouping:
+
+    * body: ``Zx = x.reshape(N/D, D)`` — an ALIGNED view, no copy —
+      contracted against ``[D, 2M]`` taps (the off-by-one of
+      ``H = MD-1`` absorbed into a shifted + wrap column pair);
+    * head (first M outputs): the same formulation over the tiny
+      ``concat(tail, x[:M*D])`` buffer.
+
+    Eliminates the 2x-block-size concat copy per streaming step.
+    """
+    tpad = h_rev_pad.shape[0]
+    n_phases = tpad // decim
+    n_out = x.shape[0] // decim
+    if n_out <= n_phases or decim < 2:
+        return fir_decimate_frame(jnp.concatenate([tail[1:], x]), h_rev_pad,
+                                  decim)
+    ab = _fir_body_matrices(h_rev_pad, decim)
+
+    def planar(xp, tp):
+        head = _fir_body_plane(jnp.concatenate([tp, xp[:tpad]]), ab, decim,
+                               n_phases)
+        body = _fir_body_plane(xp, ab, decim, n_phases)
+        return jnp.concatenate([head, body])
+
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(planar(x.real, tail.real),
+                               planar(x.imag, tail.imag))
+    return planar(x, tail).astype(x.dtype)
+
+
 def _fir_decimate_poly_ctaps(frame: jax.Array, g_rev_pad: jax.Array,
                              decim: int) -> jax.Array:
     """Polyphase decimating FIR with COMPLEX taps (complex frame).
@@ -281,10 +359,14 @@ class FIRDecimator(Block):
         self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
         # it as a literal (no device constant fetch at trace time)
         self.hist = self.h_rev_pad.shape[0] - 1
+        # the carried tail holds TPAD samples (hist + 1): the extra
+        # sample lets fir_decimate_tail_block's head share the body's
+        # aligned formulation (see its docstring)
+        self.tail_len = self.h_rev_pad.shape[0]
         self.dtype = dtype
 
     def init_state(self):
-        return dict(tail=np.zeros((self.hist,), self.dtype))
+        return dict(tail=np.zeros((self.tail_len,), self.dtype))
 
     def _fir(self, frame):
         if self.use_pallas:
@@ -293,9 +375,19 @@ class FIRDecimator(Block):
         return fir_decimate_frame(frame, self.h_rev_pad, self.decim)
 
     def apply(self, state, params, x: Stream):
-        frame = jnp.concatenate([state["tail"], x.data])
-        y = self._fir(frame)
-        new_state = dict(tail=frame[-self.hist:]) if self.hist else dict(tail=state["tail"])
+        n = x.data.shape[0]
+        if self.use_pallas or self.decim < 2 or n < self.tail_len:
+            frame = jnp.concatenate([state["tail"][1:], x.data])
+            y = self._fir(frame)
+            tail = x.data[-self.tail_len:] if n >= self.tail_len else \
+                jnp.concatenate([state["tail"], x.data])[-self.tail_len:]
+        else:
+            # zero-copy body: no 2x-block-size concat per step
+            y = fir_decimate_tail_block(state["tail"], x.data,
+                                        jnp.asarray(self.h_rev_pad),
+                                        self.decim)
+            tail = x.data[-self.tail_len:]
+        new_state = dict(tail=tail)
         out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
         return new_state, (out,)
 
@@ -322,12 +414,13 @@ class FreqXlatingFIRDecimator(Block):
         self.h_rev_pad = prepare_taps(taps, self.decim)  # numpy: jit embeds
         # it as a literal (no device constant fetch at trace time)
         self.hist = self.h_rev_pad.shape[0] - 1
+        self.tail_len = self.h_rev_pad.shape[0]  # see FIRDecimator
         self.dtype = dtype
         self.sample_rate = float(sample_rate)
         self.center_freq0 = float(center_freq)
 
     def init_state(self):
-        return dict(tail=np.zeros((self.hist,), self.dtype),
+        return dict(tail=np.zeros((self.tail_len,), self.dtype),
                     phase=np.uint32(0))
 
     def init_params(self):
@@ -344,25 +437,34 @@ class FreqXlatingFIRDecimator(Block):
         if self.rotate_taps:
             # tail carries UNROTATED samples; the LO lives in the taps +
             # a decimated output rotation. Phase advances identically.
-            frame = jnp.concatenate([state["tail"], x.data])
+            frame = jnp.concatenate([state["tail"][1:], x.data])
             y = xlating_fir_decimate_frame(frame, jnp.asarray(self.h_rev_pad),
                                            self.decim, state["phase"],
                                            params["lo_inc"])
             phase_after = state["phase"].astype(jnp.uint32) \
                 + jnp.uint32(n) * params["lo_inc"].astype(jnp.uint32)
+            tail = x.data[-self.tail_len:] if n >= self.tail_len else \
+                jnp.concatenate([state["tail"], x.data])[-self.tail_len:]
         else:
+            # tail carries ROTATED samples
             lo, phase_after = exact.oscillator(n, state["phase"],
                                                params["lo_inc"])
             xr = x.data * lo
-            frame = jnp.concatenate([state["tail"], xr])
             if self.use_pallas:
                 from grbaz_tpu.ops.pallas import fir_decimate_frame_pallas
+                frame = jnp.concatenate([state["tail"][1:], xr])
                 y = fir_decimate_frame_pallas(frame, self.h_rev_pad,
                                               self.decim)
+            elif self.decim >= 2 and n >= self.tail_len:
+                # zero-copy body: the rotate fuses into the body matmul
+                y = fir_decimate_tail_block(state["tail"], xr,
+                                            jnp.asarray(self.h_rev_pad),
+                                            self.decim)
             else:
+                frame = jnp.concatenate([state["tail"][1:], xr])
                 y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)
-        new_state = dict(
-            tail=frame[-self.hist:] if self.hist else state["tail"],
-            phase=phase_after)
+            tail = xr[-self.tail_len:] if n >= self.tail_len else \
+                jnp.concatenate([state["tail"], xr])[-self.tail_len:]
+        new_state = dict(tail=tail, phase=phase_after)
         out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
         return new_state, (out,)

@@ -97,7 +97,13 @@ class FractionalResampler(Block):
         self.block_size = int(block_size)
         self.dtype = dtype
         self.ratio0 = float(ratio)
-        self.min_ratio = float(min_ratio if min_ratio is not None else min(ratio, 1.0) * 0.5)
+        # default capacity headroom: the ratio may retune down to half
+        # the construction ratio before outputs hit the mask ceiling.
+        # (An earlier default of min(ratio,1)*0.5 allocated 2x block_size
+        # slots for decimating ratios — 16x wasted gather/interp work on
+        # the WBFM chain's 8.33 ratio.)
+        self.min_ratio = float(min_ratio if min_ratio is not None
+                               else ratio * 0.5)
         self.capacity = int(math.ceil(self.block_size / self.min_ratio)) + 1
         if not (0.0 <= phase_shift <= 1.0):
             raise ValueError("phase shift must be in [0, 1]")
