@@ -60,6 +60,7 @@ def main(argv=None):
         read = lambda n: fsrc.read_samples(n)[0]
     else:
         ph = [0]
+        rng = np.random.default_rng(1234)
 
         def read(n):
             # AM station at the tuned offset, 80% depth 1 kHz tone
@@ -67,7 +68,7 @@ def main(argv=None):
             ph[0] += n
             msg = 0.8 * np.sin(2 * np.pi * 1e3 * t)
             return (0.5 * (1 + msg) * np.exp(2j * np.pi * args.freq * t)
-                    + 0.005 * np.random.default_rng(1234).standard_normal(n)).astype(np.complex64)
+                    + 0.005 * rng.standard_normal(n)).astype(np.complex64)
 
     audio, spectra = [], []
     for _ in range(args.blocks):

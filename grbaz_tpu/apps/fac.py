@@ -61,6 +61,7 @@ def main(argv=None):
         read = lambda n: fsrc.read_samples(n)[0]
     else:
         ph = [0]
+        rng = np.random.default_rng(1234)
 
         def read(n):
             # 5 kHz pulse train: the FAC (an autocorrelation) peaks at
@@ -69,7 +70,7 @@ def main(argv=None):
             ph[0] += n
             period = int(args.rate / 5e3)
             x = np.where(k % period < 4, 1.0, 0.0)
-            return (x + 0.01 * np.random.default_rng(1234).standard_normal(n)).astype(np.complex64)
+            return (x + 0.01 * rng.standard_normal(n)).astype(np.complex64)
 
     rows = []
     while len(rows) < args.frames:

@@ -48,12 +48,21 @@ def parse_gps_servo(line: str) -> dict:
     parts = str(line).split()
     if len(parts) < 8:
         raise ValueError(f"short gps_servo line: {line!r}")
-    # date may or may not be present (it contains '-' or ':')
-    if not parts[0].replace(".", "").replace("-", "").isdigit() \
-            or "-" in parts[0]:
+    # a leading date/time field is anything that isn't a plain number
+    # (negative numeric fields like a -4.5 ns UTC offset must survive)
+    try:
+        float(parts[0])
+    except ValueError:
         parts = parts[1:]
     if len(parts) < 8:
         raise ValueError(f"short gps_servo line: {line!r}")
+
+    def _int_any_base(v: str) -> int:
+        try:
+            return int(v, 0)     # 0x.. hex, 0o.., plain decimal
+        except ValueError:
+            return int(v, 10)    # zero-padded decimal ('014')
+
     vals = dict(
         pps_count=int(float(parts[0])),
         fine_dac=float(parts[1]),
@@ -62,7 +71,7 @@ def parse_gps_servo(line: str) -> dict:
         sats_visible=int(float(parts[4])),
         sats_tracked=int(float(parts[5])),
         lock_state=int(float(parts[6])),
-        health_status=int(parts[7], 0),  # accepts decimal or 0x.. hex
+        health_status=_int_any_base(parts[7]),
     )
     vals["lock_state_str"] = LOCK_STATE.get(vals["lock_state"], "?")
     vals["health_flags"] = [desc for bit, desc in HEALTH_STATUS.items()

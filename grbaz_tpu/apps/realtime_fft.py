@@ -63,13 +63,14 @@ def main(argv=None):
         read = lambda n: fsrc.read_samples(n)[0]
     else:
         ph = [0]
+        rng = np.random.default_rng(1234)
 
         def read(n):
             t = ph[0] + np.arange(n)
             ph[0] += n
             x = (0.5 * np.exp(2j * np.pi * 0.1 * t)
                  + 0.05 * np.exp(2j * np.pi * -0.23 * t)
-                 + 0.01 * np.random.default_rng(1234).standard_normal(n)).astype(np.complex64)
+                 + 0.01 * rng.standard_normal(n)).astype(np.complex64)
             return x
 
     spectra, rasters = [], []

@@ -52,13 +52,14 @@ def main(argv=None):
         read = lambda n: fsrc.read_samples(n)[0]
     else:
         ph = [0]
+        rng = np.random.default_rng(1234)
         active_stations = [-300e3, 100e3]
 
         def read(n):
             t = (ph[0] + np.arange(n)) / args.rate
             ph[0] += n
             x = sum(0.5 * np.exp(2j * np.pi * f * t) for f in active_stations)
-            x = x + 0.002 * (np.random.default_rng(1234).standard_normal(n) + 1j * np.random.default_rng(4321).standard_normal(n))
+            x = x + 0.002 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
             return x.astype(np.complex64)
 
     thr = 10 ** (args.threshold_db / 10.0)

@@ -267,16 +267,18 @@ int64_t tcpf_src_read(void* h, uint8_t* dst, int64_t max_bytes,
   return static_cast<int64_t>(n);
 }
 
-// Pop the next tag blob if its data offset is <= up_to_offset (i.e. the
-// tag precedes data already drained). Returns blob bytes (0 = none,
-// -1 = caller buffer too small; call again with a bigger buffer).
+// Pop the next tag blob if its data offset is < up_to_offset, i.e. the
+// sample the tag is pinned to has already been drained (a tag stamped
+// at the boundary belongs to the NEXT read's data). After STREAM_END
+// any remaining tags flush unconditionally. Returns blob bytes (0 =
+// none, -1 = caller buffer too small; call again with a bigger buffer).
 int64_t tcpf_src_next_tag(void* h, uint8_t* dst, int64_t cap,
                           uint64_t up_to_offset, uint64_t* tag_offset_out) {
   auto* e = static_cast<SrcEngine*>(h);
   std::lock_guard<std::mutex> g(e->mu);
   if (e->tags.empty()) return 0;
   TagEntry& t = e->tags.front();
-  if (t.data_offset > up_to_offset) return 0;
+  if (t.data_offset >= up_to_offset && !e->stream_end.load()) return 0;
   if (static_cast<int64_t>(t.blob.size()) > cap) return -1;
   if (tag_offset_out) *tag_offset_out = t.data_offset;
   int64_t n = static_cast<int64_t>(t.blob.size());
@@ -308,8 +310,13 @@ void* tcpf_sink_create(const char* host, uint16_t port, int auto_reconnect) {
   e->host = host ? host : "127.0.0.1";
   e->port = port;
   e->auto_reconnect = auto_reconnect != 0;
-  std::lock_guard<std::mutex> g(e->mu);
-  if (!sink_connect_locked(e) && !e->auto_reconnect) {
+  bool ok;
+  {  // guard must release before a potential delete (unlocking a
+     // destroyed mutex is UB)
+    std::lock_guard<std::mutex> g(e->mu);
+    ok = sink_connect_locked(e);
+  }
+  if (!ok && !e->auto_reconnect) {
     delete e;
     return nullptr;
   }

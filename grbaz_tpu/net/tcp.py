@@ -219,21 +219,27 @@ class NativeTCPFrameSink:
         if not self._h:
             raise ConnectionError(f"cannot connect to {host}:{port}")
 
-    def _send(self, ftype: int, payload: bytes, flags: int = 0) -> bool:
+    def _send(self, ftype: int, payload, flags: int = 0) -> bool:
+        """payload: bytes or a contiguous np array — sent zero-copy
+        (the object stays referenced for the duration of the call)."""
         c = self._c
-        buf = (c.c_uint8 * len(payload)).from_buffer_copy(payload) \
-            if payload else None
-        return bool(self._lib.tcpf_sink_send(
-            self._h, ftype, flags,
-            c.cast(buf, c.POINTER(c.c_uint8)) if buf else None,
-            len(payload)))
+        if isinstance(payload, np.ndarray):
+            ptr = payload.ctypes.data_as(c.POINTER(c.c_uint8))
+            n = payload.nbytes
+        elif payload:
+            # c_char_p keeps a pointer into the bytes object (read-only)
+            ptr = c.cast(c.c_char_p(payload), c.POINTER(c.c_uint8))
+            n = len(payload)
+        else:
+            ptr, n = None, 0
+        return bool(self._lib.tcpf_sink_send(self._h, ftype, flags, ptr, n))
 
     def send_samples(self, x: np.ndarray,
                      tags: Optional[List[dict]] = None) -> bool:
         if tags:
             if not self._send(BT_TAGS, json.dumps(tags).encode()):
                 return False
-        return self._send(BT_DATA, np.ascontiguousarray(x).tobytes())
+        return self._send(BT_DATA, np.ascontiguousarray(x))
 
     def end_stream(self):
         self._send(BT_DATA, b"", flags=BF_STREAM_END)

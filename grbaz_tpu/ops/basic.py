@@ -52,11 +52,16 @@ def imag_part(x):
 
 
 def multiply_const(k):
-    return FnBlock(lambda x: x * k, name="multiply_const")
+    def multiply_const(x):
+        return x * k
+    return FnBlock(multiply_const)  # auto-name keeps a uid: a graph may
+    # hold several of these (explicit names must be unique per graph)
 
 
 def add_const(k):
-    return FnBlock(lambda x: x + k, name="add_const")
+    def add_const(x):
+        return x + k
+    return FnBlock(add_const)
 
 
 @block_from_fn(n_in=2)
@@ -70,7 +75,9 @@ def add(a, b):
 
 
 def float_to_complex():
-    return FnBlock(lambda r, i: jax.lax.complex(r, i), n_in=2, name="float_to_complex")
+    def float_to_complex(r, i):
+        return jax.lax.complex(r, i)
+    return FnBlock(float_to_complex, n_in=2)
 
 
 # -- sample format conversions (wire / driver formats) ----------------------

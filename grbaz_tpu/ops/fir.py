@@ -228,8 +228,10 @@ def fir_decimate_tail_block(tail: jax.Array, x: jax.Array,
     ``tail`` holds the previous TPAD samples (one more than the filter
     history — the extra sample makes the polyphase view of the head
     align to the same widened tap matrix as the body). Values equal
-    ``fir_decimate_frame(concat([tail[1:], x]), h, decim)``; outputs
-    are bit-identical for every block size because head and body use
+    ``fir_decimate_frame(concat([tail[1:], x]), h, decim)`` up to f32
+    term regrouping (last-ulp differences — the widened matmul groups
+    products differently than the frame path); WITHIN this path outputs
+    ARE bit-identical for every block size, because head and body use
     the identical term grouping:
 
     * body: ``Zx = x.reshape(N/D, D)`` — an ALIGNED view, no copy —
@@ -243,7 +245,9 @@ def fir_decimate_tail_block(tail: jax.Array, x: jax.Array,
     tpad = h_rev_pad.shape[0]
     n_phases = tpad // decim
     n_out = x.shape[0] // decim
-    if n_out <= n_phases or decim < 2:
+    if n_out <= n_phases or decim < 2 or x.shape[0] % decim:
+        # non-multiple-of-decim blocks (or tiny ones) take the frame
+        # path, which floors the output count like the reference
         return fir_decimate_frame(jnp.concatenate([tail[1:], x]), h_rev_pad,
                                   decim)
     ab = _fir_body_matrices(h_rev_pad, decim)
@@ -376,7 +380,8 @@ class FIRDecimator(Block):
 
     def apply(self, state, params, x: Stream):
         n = x.data.shape[0]
-        if self.use_pallas or self.decim < 2 or n < self.tail_len:
+        if self.use_pallas or self.decim < 2 or n < self.tail_len \
+                or n % self.decim:
             frame = jnp.concatenate([state["tail"][1:], x.data])
             y = self._fir(frame)
             tail = x.data[-self.tail_len:] if n >= self.tail_len else \
@@ -384,8 +389,7 @@ class FIRDecimator(Block):
         else:
             # zero-copy body: no 2x-block-size concat per step
             y = fir_decimate_tail_block(state["tail"], x.data,
-                                        jnp.asarray(self.h_rev_pad),
-                                        self.decim)
+                                        self.h_rev_pad, self.decim)
             tail = x.data[-self.tail_len:]
         new_state = dict(tail=tail)
         out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
@@ -438,7 +442,7 @@ class FreqXlatingFIRDecimator(Block):
             # tail carries UNROTATED samples; the LO lives in the taps +
             # a decimated output rotation. Phase advances identically.
             frame = jnp.concatenate([state["tail"][1:], x.data])
-            y = xlating_fir_decimate_frame(frame, jnp.asarray(self.h_rev_pad),
+            y = xlating_fir_decimate_frame(frame, self.h_rev_pad,
                                            self.decim, state["phase"],
                                            params["lo_inc"])
             phase_after = state["phase"].astype(jnp.uint32) \
@@ -455,11 +459,11 @@ class FreqXlatingFIRDecimator(Block):
                 frame = jnp.concatenate([state["tail"][1:], xr])
                 y = fir_decimate_frame_pallas(frame, self.h_rev_pad,
                                               self.decim)
-            elif self.decim >= 2 and n >= self.tail_len:
+            elif self.decim >= 2 and n >= self.tail_len \
+                    and n % self.decim == 0:
                 # zero-copy body: the rotate fuses into the body matmul
                 y = fir_decimate_tail_block(state["tail"], xr,
-                                            jnp.asarray(self.h_rev_pad),
-                                            self.decim)
+                                            self.h_rev_pad, self.decim)
             else:
                 frame = jnp.concatenate([state["tail"][1:], xr])
                 y = fir_decimate_frame(frame, self.h_rev_pad, self.decim)

@@ -257,14 +257,33 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
         out = out.at[0, :nq].set(y.real).at[1, :nq].set(y.imag)
         return dict(tail=frame[-hist:], phase=phase2), out
 
+    squelch_thr = None
+    if cfg.squelch_db is not None:
+        squelch_thr = np.float32(10.0 ** (float(cfg.squelch_db) / 10.0))
+        squelch_alpha = np.float32(1e-4)
+
     def stage_demod(state, buf):
         y = lax.complex(buf[0, :nq], buf[1, :nq])
+        if squelch_thr is not None:
+            # power squelch before the discriminator (serial chain
+            # order: channel -> squelch -> demod, models/wbfm.py)
+            from grbaz_tpu.ops.agc import _affine_combine
+            p = (y.real * y.real + y.imag * y.imag).astype(jnp.float32)
+            a = jnp.full((nq,), 1.0 - squelch_alpha, jnp.float32)
+            A, B = lax.associative_scan(_affine_combine,
+                                        (a, p * squelch_alpha))
+            avg = A * state["sq_avg"] + B
+            y = jnp.where(avg >= squelch_thr, y, jnp.zeros((), y.dtype))
+            new_sq = avg[-1]
         shifted = jnp.concatenate([state["prev"][None], y[:-1]])
         prod = y * jnp.conj(shifted)
         quad = jnp.arctan2(prod.imag, prod.real).astype(jnp.float32) \
             * demod_gain
         out = jnp.zeros(buf_shape, jnp.float32).at[0, :nq].set(quad)
-        return dict(prev=y[-1]), out
+        st = dict(prev=y[-1])
+        if squelch_thr is not None:
+            st["sq_avg"] = new_sq
+        return st, out
 
     def stage_resample(state, buf):
         quad = buf[0, :nq]
@@ -298,9 +317,12 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
         out = out.at[1, N - 1].set(n_out.astype(jnp.float32))
         return st, out
 
+    demod_state = dict(prev=np.complex64(1.0 + 0.0j))
+    if squelch_thr is not None:
+        demod_state["sq_avg"] = np.float32(0.0)
     init_states = (
         dict(tail=np.zeros(hist, np.complex64), phase=np.uint32(0)),
-        dict(prev=np.complex64(1.0 + 0.0j)),
+        demod_state,
         dict(tail=np.zeros(RS_HIST, np.float32),
              mu_int=np.int32(RS_HIST), mu_frac=np.uint32(0)),
         dict(y_prev=np.float32(0.0), x_prev=np.float32(0.0)),

@@ -138,3 +138,52 @@ def test_generic_pipeline_simple_stages():
     np.testing.assert_allclose(out, np.stack(exp), rtol=1e-6)
     np.testing.assert_allclose(states[0], st0)
     np.testing.assert_allclose(states[2], st2, rtol=1e-6)
+
+
+def test_wbfm_pipeline_with_squelch(mesh4):
+    """cfg.squelch_db must be honored by the pipeline (serial chain
+    inserts a PowerSquelch stage; the pipeline folds it into the demod
+    stage)."""
+    cfg = WBFMConfig(block_size=4096, squelch_db=-20.0)
+    M = 4
+    # quiet noise: must be fully muted
+    rng = np.random.default_rng(8)
+    quiet = 1e-4 * (rng.standard_normal(cfg.block_size * M)
+                    + 1j * rng.standard_normal(cfg.block_size * M))
+    quiet = quiet.astype(np.complex64)
+    blocks = [quiet[i * cfg.block_size:(i + 1) * cfg.block_size]
+              for i in range(M)]
+    ref = serial_audio(cfg, blocks)
+
+    pipe, encode, decode = build_wbfm_pipeline(cfg, mesh4)
+    states = pipe.init_states()
+    states, out = pipe.run(states, np.stack([encode(b) for b in blocks]))
+    got = np.concatenate([decode(np.asarray(out[m]))[0] for m in range(M)])
+    assert len(got) == len(ref)
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+    np.testing.assert_allclose(ref, 0.0, atol=1e-6)
+
+    # loud FM: passes and matches serial
+    loud = make_fm(cfg.block_size * M, cfg.sample_rate, 0.0, seed=9)
+    blocks = [loud[i * cfg.block_size:(i + 1) * cfg.block_size]
+              for i in range(M)]
+    ref = serial_audio(cfg, blocks)
+    pipe, encode, decode = build_wbfm_pipeline(cfg, mesh4)
+    states = pipe.init_states()
+    states, out = pipe.run(states, np.stack([encode(b) for b in blocks]))
+    got = np.concatenate([decode(np.asarray(out[m]))[0] for m in range(M)])
+    assert snr_db(ref, got) > 100
+
+
+def test_fir_block_nonmultiple_of_decim():
+    """Blocks whose length is not a multiple of decim take the frame
+    path and floor the output count (regression: the zero-copy body
+    crashed on reshape)."""
+    import jax.numpy as jnp
+    from grbaz_tpu.ops.fir import FIRDecimator, low_pass_taps
+    taps = low_pass_taps(1.0, 1.0, 0.05, 0.02)
+    blk = FIRDecimator(taps, 8, dtype=jnp.float32)
+    state, params = blk.init_state(), blk.init_params()
+    x = np.random.default_rng(0).standard_normal(4100).astype(np.float32)
+    state, (y,) = blk.apply(state, params, Stream.full(jnp.asarray(x)))
+    assert y.data.shape[0] == 4100 // 8
