@@ -472,3 +472,53 @@ class FreqXlatingFIRDecimator(Block):
         new_state = dict(tail=tail, phase=phase_after)
         out = x.like(y, count=x.count // self.decim, rate_scale=1.0 / self.decim)
         return new_state, (out,)
+
+
+# ---------------------------------------------------------------------------
+# FFT overlap-save convolution (long filters)
+# ---------------------------------------------------------------------------
+
+def fft_fir_frame(frame: jax.Array, h_rev_pad: jax.Array, decim: int = 1,
+                  fft_size: int | None = None) -> jax.Array:
+    """Overlap-save FFT convolution with :func:`fir_decimate_frame`
+    semantics: ``y[k] = sum_t h_rev_pad[t] * frame[k*decim + t]`` over a
+    frame with ``tpad-1`` leading history.
+
+    The time-domain polyphase matmul wins on the MXU for channel-filter
+    sizes (~100-200 taps); for LONG filters — matched filters, sync
+    correlators (the reference's baz_correlator loads arbitrary-length
+    patterns), channel-sorting banks — work per output grows as O(L)
+    while overlap-save stays O(log F). Crossover measured around
+    L ~ 1k taps. Segments are batched so the FFTs run as one batched
+    transform.
+    """
+    tpad = h_rev_pad.shape[0]
+    n_new = frame.shape[0] - (tpad - 1)
+    n_full = n_new  # full-rate outputs before decimation
+    if fft_size is None:
+        fft_size = max(256, 1 << int(math.ceil(math.log2(4 * tpad))))
+    F = int(fft_size)
+    if F < 2 * tpad:
+        raise ValueError("fft_size must be >= 2x the tap count")
+    S = F - (tpad - 1)  # valid outputs per segment
+    n_seg = -(-n_full // S)
+    total = (tpad - 1) + n_seg * S
+    pad = total - frame.shape[0]
+    fc = frame.astype(jnp.complex64)
+    if pad > 0:
+        fc = jnp.concatenate([fc, jnp.zeros(pad, jnp.complex64)])
+    # segment j covers outputs [j*S, (j+1)*S): needs frame[j*S : j*S + F]
+    starts = jnp.arange(n_seg, dtype=jnp.int32) * S
+    segs = fc[starts[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]]
+    # y[k] = sum_t h_rev[t] frame[k+t] = conv(frame, g)[k + tpad - 1]
+    # with g[u] = h_rev[tpad-1-u]; in segment-local coords the valid
+    # outputs sit at [tpad-1, F).
+    g = h_rev_pad[::-1].astype(jnp.complex64)
+    hf = jnp.fft.fft(g, n=F)
+    yseg = jnp.fft.ifft(jnp.fft.fft(segs, axis=1) * hf[None, :], axis=1)
+    y = yseg[:, tpad - 1:].reshape(-1)[:n_full]
+    if decim > 1:
+        y = y[::decim]
+    if not jnp.iscomplexobj(frame):
+        return y.real.astype(frame.dtype)
+    return y.astype(frame.dtype)

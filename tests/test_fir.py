@@ -152,3 +152,26 @@ def test_rotated_taps_xlating_fir_matches_rotate_then_filter():
     got = run(True)
     assert got.shape == ref.shape
     assert snr_db(ref, got) > 110  # f32 rounding path differences only
+
+
+def test_fft_fir_matches_direct():
+    """Overlap-save FFT convolution vs the time-domain kernel."""
+    from grbaz_tpu.ops.fir import (fft_fir_frame, fir_decimate_frame,
+                                   prepare_taps)
+    import jax
+    rng = np.random.default_rng(17)
+    taps = (rng.standard_normal(1201) * np.hanning(1201)).astype(np.float32)
+    for decim in (1, 4):
+        h = prepare_taps(taps, decim)
+        hist = len(h) - 1
+        for dtype in (np.complex64, np.float32):
+            frame = rng.standard_normal(hist + 8192).astype(np.float32)
+            if dtype == np.complex64:
+                frame = (frame + 1j * rng.standard_normal(len(frame))) \
+                    .astype(np.complex64)
+            ref = np.asarray(jax.jit(
+                lambda f: fir_decimate_frame(f, jnp.asarray(h), decim))(frame))
+            got = np.asarray(jax.jit(
+                lambda f: fft_fir_frame(f, jnp.asarray(h), decim))(frame))
+            assert got.shape == ref.shape
+            assert snr_db(ref, got) > 100, (decim, dtype)
