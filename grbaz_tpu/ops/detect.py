@@ -179,11 +179,17 @@ class Correlator(Block):
         frame = jnp.concatenate([state["tail"], x.data])
         # corr[n] = sum_l frame[n + l] * conj(s[l]), n in [0, N + width/2)
         n_corr = n + self.width // 2
-        idx = jnp.arange(n_corr, dtype=jnp.int32)[:, None] \
-            + jnp.arange(self.L, dtype=jnp.int32)[None, :]
-        win = frame[idx]
-        s_conj = jnp.conj(jnp.asarray(self.sync))
-        corr = win @ s_conj
+        if self.L >= 64:
+            # long sync patterns: overlap-save FFT correlation — the
+            # window-matrix form below materializes [n_corr, L]
+            from grbaz_tpu.ops.fir import fft_fir_frame
+            corr = fft_fir_frame(frame, np.conj(self.sync), decim=1)
+        else:
+            idx = jnp.arange(n_corr, dtype=jnp.int32)[:, None] \
+                + jnp.arange(self.L, dtype=jnp.int32)[None, :]
+            win = frame[idx]
+            s_conj = jnp.conj(jnp.asarray(self.sync))
+            corr = win @ s_conj
         mag = jnp.abs(corr).astype(jnp.float32)
 
         n_w = n // self.window_length

@@ -144,3 +144,89 @@ class FractionalResampler(Block):
         new_state = dict(tail=frame[-HIST:], mu_int=mu_int, mu_frac=mu_frac)
         out = x.like(y, count=n_out, rate_scale=1.0 / self.ratio0)
         return new_state, (out,)
+
+
+class VariableRatioResampler(Block):
+    """Ratio-STREAM mode of the fractional resampler: a second float
+    input carries the per-input-sample resampling ratio
+    (/root/reference/lib/baz_fractional_resampler_cc.cc:200-217 — each
+    output interpolates at (ii, mu), then ``inc = rr[ii]``, ``mu += inc``,
+    ``ii += floor``).
+
+    The position sequence is self-referential (the increment is read AT
+    the current position), so unlike :class:`FractionalResampler` there
+    is no closed-form output ramp — this runs as a ``lax.scan`` over
+    output slots with an exact 32.32 carry. Intended for closed-loop
+    rate discipline at control/audio rates, not the Gsamp/s front-end
+    path (use the fixed-ratio block + ppb retunes there).
+
+    Inputs: (signal f32/c64 [N], ratio f32 [N]); output: masked block of
+    ``capacity`` samples with a data-dependent valid count.
+    """
+
+    n_in = 2
+
+    def __init__(self, block_size: int, max_outputs_per_input: float = 2.0,
+                 dtype=jnp.complex64, name=None):
+        super().__init__(name)
+        self.block_size = int(block_size)
+        self.dtype = dtype
+        self.capacity = int(math.ceil(block_size * max_outputs_per_input)) + 1
+        self.taps_table = TAPS_TABLE
+
+    def init_state(self):
+        return dict(
+            tail=np.zeros((HIST,), self.dtype),
+            rr_tail=np.zeros((HIST,), np.float32),
+            q_int=np.int32(HIST),      # window-start position, frame coords
+            mu_frac=np.uint32(0),
+        )
+
+    def apply(self, state, params, x: Stream, rr: Stream):
+        n = self.block_size
+        if x.data.shape[0] != n or rr.data.shape[0] != n:
+            raise ValueError(f"{self.name}: expected blocks of {n}")
+        frame = jnp.concatenate([state["tail"], x.data])
+        rr_frame = jnp.concatenate([state["rr_tail"],
+                                    rr.data.astype(jnp.float32)])
+        n_valid = jnp.minimum(x.count, n)
+        limit = n_valid + HIST  # exclusive frame bound for a window start
+        taps_table = jnp.asarray(self.taps_table)
+        two32 = jnp.float32(exact.TWO32)
+
+        def step(carry, _):
+            q, mu_frac = carry
+            ok = q + jnp.int32(NTAPS) <= limit
+            qc = jnp.clip(q, 0, HIST + n - NTAPS)
+            win = jax.lax.dynamic_slice_in_dim(frame, qc, NTAPS)
+            bin_ = exact.frac_to_phase_bin(mu_frac[None], NSTEPS_LOG2)[0]
+            taps = taps_table[bin_]
+            if jnp.iscomplexobj(frame):
+                y = (jnp.sum(win.real * taps) + 1j * jnp.sum(win.imag * taps)
+                     ).astype(frame.dtype)
+            else:
+                y = jnp.sum(win * taps).astype(frame.dtype)
+            # inc = ratio stream AT the current window start (reference
+            # reads rr[ii] after emitting the output)
+            inc = rr_frame[qc]
+            ip = jnp.floor(inc)
+            fr = ((inc - ip) * two32).astype(jnp.uint32)
+            s = mu_frac + fr
+            carry_bit = (s < fr).astype(jnp.int32)
+            q2 = jnp.where(ok, q + ip.astype(jnp.int32) + carry_bit, q)
+            mu2 = jnp.where(ok, s, mu_frac)
+            return (q2, mu2), (jnp.where(ok, y, jnp.zeros((), y.dtype)),
+                               ok)
+
+        (q_end, mu_end), (ys, oks) = jax.lax.scan(
+            step, (state["q_int"], state["mu_frac"]),
+            None, length=self.capacity)
+        count = jnp.sum(oks.astype(jnp.int32))
+        new_state = dict(
+            tail=frame[-HIST:],
+            rr_tail=rr_frame[-HIST:],
+            q_int=q_end - jnp.int32(n),
+            mu_frac=mu_end,
+        )
+        out = x.like(ys, count=count)
+        return new_state, (out,)

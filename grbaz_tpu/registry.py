@@ -124,6 +124,9 @@ REGISTRY: Dict[str, Tuple[str, str, str]] = {
     "fractional_resampler": ("Synchronisers",
                              "grbaz_tpu.ops.resampler:FractionalResampler",
                              "lib/baz_fractional_resampler_cc.cc"),
+    "variable_ratio_resampler": (
+        "Synchronisers", "grbaz_tpu.ops.resampler:VariableRatioResampler",
+        "lib/baz_fractional_resampler_cc.cc:200-217 (ratio-stream mode)"),
     "rate_synchroniser": ("Synchronisers",
                           "grbaz_tpu.net.rate_synchroniser:RateSynchroniser",
                           "python/rate_synchroniser.py"),

@@ -124,3 +124,56 @@ def test_rate_48k_from_250k():
     spec = np.abs(np.fft.fft(y * np.hanning(len(y))))
     peak = np.argmax(spec) / len(y)
     assert abs(peak - f_out) < 1e-3
+
+
+def test_variable_ratio_stream_mode():
+    """Ratio-stream mode vs a serial model of the reference loop
+    (lib/baz_fractional_resampler_cc.cc:200-217: emit at (ii, mu), read
+    inc = rr[ii], mu += inc, ii += floor)."""
+    import jax.numpy as jnp
+    from grbaz_tpu.core.stream import Stream
+    from grbaz_tpu.ops.mmse import NSTEPS_LOG2, NTAPS, TAPS_TABLE
+    from grbaz_tpu.ops.resampler import HIST, VariableRatioResampler
+
+    rng = np.random.default_rng(31)
+    n, blocks = 512, 3
+    x = rng.standard_normal(n * blocks).astype(np.float32)
+    # slowly-varying ratio around 1.3 (the rate-discipline use case)
+    rr = (1.3 + 0.05 * np.sin(np.arange(n * blocks) * 0.01)) \
+        .astype(np.float32)
+
+    # serial model with the same exact 32.32 phase + taps table
+    def serial():
+        frame = np.concatenate([np.zeros(HIST, np.float32), x])
+        rrf = np.concatenate([np.zeros(HIST, np.float32), rr])
+        q, mu_frac = HIST, 0
+        out = []
+        shift = 32 - NSTEPS_LOG2 - 1
+        while q + NTAPS <= len(frame):
+            # same rounding as exact.frac_to_phase_bin (bins 0..NSTEPS
+            # inclusive; the top bin is the next-sample filter)
+            bin_ = ((mu_frac >> 1) + (1 << (shift - 1))) >> shift
+            out.append(float(frame[q:q + NTAPS] @ TAPS_TABLE[bin_]))
+            inc = float(rrf[q])
+            ip = int(np.floor(inc))
+            fr = int(np.float32(inc - ip) * (2.0 ** 32)) & 0xFFFFFFFF
+            s = mu_frac + fr
+            q += ip + (s >> 32)
+            mu_frac = s & 0xFFFFFFFF
+        return np.asarray(out, np.float32)
+
+    ref = serial()
+
+    blk = VariableRatioResampler(n, dtype=jnp.float32)
+    state, params = blk.init_state(), blk.init_params()
+    outs = []
+    for b in range(blocks):
+        sx = Stream.full(jnp.asarray(x[b * n:(b + 1) * n]))
+        sr = Stream.full(jnp.asarray(rr[b * n:(b + 1) * n]))
+        state, (y,) = blk.apply(state, params, sx, sr)
+        outs.append(np.asarray(y.data)[:int(y.count)])
+    got = np.concatenate(outs)
+
+    m = min(len(got), len(ref))
+    assert m > 0.9 * len(ref)
+    assert snr_db(ref[:m], got[:m]) > 80
