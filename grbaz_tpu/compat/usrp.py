@@ -24,6 +24,26 @@ from grbaz_tpu.net.devices import Device, SyntheticDevice
 ADC_FREQ = 64e6  # legacy USRP1 ADC clock assumed by old apps
 
 
+def _default_device() -> Device:
+    """Device used when a legacy app constructs ``source_c()`` bare.
+
+    Mirrors the reference's transparent remote fallback: borip.py
+    monkey-patches ``usrp.source_c`` so that when a ``[borip] server``
+    is configured, the 'local USRP' is silently a remote BorIP device
+    (python/borip.py:561-573). Without a configured server the
+    synthetic device stands in (this environment has no USRP hardware).
+    """
+    from grbaz_tpu.core.config import BorIPConfig, load_config
+    try:
+        cfg = load_config(BorIPConfig, "borip")
+        if cfg.server:
+            from grbaz_tpu.net.devices import BorIPRemoteDevice
+            return BorIPRemoteDevice(cfg.server)
+    except Exception:
+        pass
+    return SyntheticDevice()
+
+
 class tune_result:
     def __init__(self, baseband_freq=0.0, dxc_freq=0.0, residual_freq=0.0,
                  inverted=False):
@@ -103,7 +123,7 @@ class source_c:
     def __init__(self, which: int = 0, decim_rate: int = 256,
                  nchan: int = 1, adc_freq: float = ADC_FREQ,
                  device: Optional[Device] = None):
-        self._dev = device if device is not None else SyntheticDevice()
+        self._dev = device if device is not None else _default_device()
         self._adc_freq = float(adc_freq)
         self._decim = max(int(decim_rate), 1)
         self._apply_rate()

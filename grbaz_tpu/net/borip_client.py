@@ -36,6 +36,7 @@ class RemoteDevice:
         self.device_info: dict = {}
         self.rx = UDPSampleReceiver(port=udp_port, bor=True)
         self._sock: Optional[socket.socket] = None
+        self._pending = np.zeros(0, np.complex64)  # sub-packet leftovers
         self._lock = threading.Lock()
         self._keepalive = keepalive
         self._ka_thread: Optional[threading.Thread] = None
@@ -155,8 +156,22 @@ class RemoteDevice:
 
     # -- sample plane ---------------------------------------------------------
     def read_samples(self, max_samples: int) -> Tuple[np.ndarray, int]:
-        """Non-blocking drain of received samples: (complex64, flags)."""
-        return self.rx.read_complex(max_samples)
+        """Non-blocking drain of received samples: (complex64, flags).
+
+        The UDP ring pops whole packets only, so requests smaller than
+        one packet (payload_size/4 samples) would starve; a pending
+        buffer absorbs the packet granularity.
+        """
+        flags = 0
+        if len(self._pending) < max_samples:
+            want = max(max_samples - len(self._pending), 4096)
+            x, flags = self.rx.read_complex(want)
+            if len(x):
+                self._pending = np.concatenate([self._pending, x]) \
+                    if len(self._pending) else x
+        out = self._pending[:max_samples]
+        self._pending = self._pending[max_samples:]
+        return out, flags
 
     def wait_samples(self, n: int, timeout: float = 5.0) -> np.ndarray:
         """Blocking accumulate of exactly n samples."""
@@ -164,7 +179,7 @@ class RemoteDevice:
         got = 0
         deadline = time.monotonic() + timeout
         while got < n:
-            x, _ = self.rx.read_complex(n - got)
+            x, _ = self.read_samples(n - got)
             if len(x):
                 out.append(x)
                 got += len(x)

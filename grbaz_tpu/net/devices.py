@@ -242,11 +242,96 @@ class FileDevice(Device):
 # registry for DEVICE <hint> resolution (reference: dynamic import of
 # borip_<id>, borip_server.py:664-800; here: a registry + entry-point
 # style dotted-path fallback)
+class BorIPRemoteDevice(Device):
+    """A remote BorIP server presented through the Device interface —
+    the reference's transparent remote-SDR substitution
+    (python/borip.py:561-573 monkey-patches ``usrp.source_c`` to fall
+    back to a BorIP server; here the remote is just another Device).
+
+    ``server``: "host[:port]"; empty reads the ``[borip]`` config
+    section. ``hint`` is the server-side device to open (DEVICE verb).
+    """
+
+    def __init__(self, server: str = "", hint: str = ""):
+        super().__init__()
+        from grbaz_tpu.net.borip_client import RemoteDevice
+        if server:
+            host, _, port = str(server).partition(":")
+            self._rd = RemoteDevice(host, port=int(port) if port else 28888)
+        else:
+            self._rd = RemoteDevice.from_config()
+        self._info = self._rd.select_device(hint) if hint \
+            else (self._rd.device_info or self._rd.select_device(""))
+
+    def name(self) -> str:
+        return (self._info or {}).get("name", "(remote)")
+
+    def gain_range(self) -> GainRange:
+        lo, hi, step = (self._info or {}).get("gain_range", (0.0, 0.0, 1.0))
+        return GainRange(lo, hi, step)
+
+    def antennas(self) -> List[str]:
+        return (self._info or {}).get("antennas", ["(Default)"])
+
+    def gain(self, g: Optional[float] = None):
+        if g is None:
+            return self._gain
+        if self._rd.set_gain(float(g)):
+            self._gain = float(g)
+            return True
+        return False
+
+    def freq(self, f: Optional[float] = None):
+        if f is None:
+            return self._freq
+        if self._rd.set_freq(float(f)):
+            self._freq = float(f)
+            self._tune_result = TuneResult(f, f, 0.0, 0.0)
+            return True
+        return False
+
+    def sample_rate(self, r: Optional[float] = None):
+        if r is None:
+            return self._rate
+        actual = self._rd.set_sample_rate(float(r))
+        if actual == actual:  # not NaN
+            self._rate = float(actual)
+            return True
+        return False
+
+    def antenna(self, a: Optional[str] = None):
+        if a is None:
+            return self._antenna
+        if self._rd.set_antenna(str(a)):
+            self._antenna = str(a)
+            return True
+        return False
+
+    def start(self) -> bool:
+        self._running = bool(self._rd.start())
+        return self._running
+
+    def stop(self):
+        self._rd.stop()
+        self._running = False
+
+    def read_samples(self, n: int) -> np.ndarray:
+        return self._rd.wait_samples(n)
+
+    def close(self):
+        try:
+            self._rd.close()
+        finally:
+            self._running = False
+
+
 DEVICE_REGISTRY = {
     "": SyntheticDevice,
     "synth": SyntheticDevice,
     "synthetic": SyntheticDevice,
     "file": FileDevice,
+    "borip": BorIPRemoteDevice,
+    "remote": BorIPRemoteDevice,
 }
 
 # hints resolved by importing a module that self-registers (the analog of

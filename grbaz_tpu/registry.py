@@ -52,6 +52,9 @@ REGISTRY: Dict[str, Tuple[str, str, str]] = {
                           "lib/baz_tcp_source.cc"),
     "tcp_sink_native": ("Networking", "grbaz_tpu.net.tcp:NativeTCPFrameSink",
                         "lib/baz_tcp_sink.cc"),
+    "borip_remote_device": ("Networking",
+                            "grbaz_tpu.net.devices:BorIPRemoteDevice",
+                            "python/borip.py remote_usrp + :561-573"),
     "control_server": ("Networking",
                        "grbaz_tpu.net.control_server:ControlServer",
                        "python/introspective_xmlrpc_server.py"),

@@ -377,3 +377,31 @@ def test_native_tcp_sink_reconnect():
         raise AssertionError("no data after reconnect")
     sink.close()
     src2.close()
+
+
+def test_usrp_shim_transparent_borip_fallback(monkeypatch):
+    """A bare legacy ``usrp.source_c()`` silently becomes a remote BorIP
+    device when [borip] server is configured — the reference's
+    monkey-patch fallback (python/borip.py:561-573)."""
+    srv = BorIPServer(("127.0.0.1", 0),
+                      default_device="synth rate=100000 realtime=0")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("GRBAZ_BORIP_SERVER",
+                           f"127.0.0.1:{srv.server_address[1]}")
+        from grbaz_tpu.compat import usrp
+        u = usrp.source_c(decim_rate=640)  # 64 MHz / 640 = 100 kS/s
+        assert type(u._dev).__name__ == "BorIPRemoteDevice"
+        assert u.adc_freq() == 64e6
+        sub = u.pick_rx_subdevice() if hasattr(u, "pick_rx_subdevice") \
+            else None
+        tr = u.tune(0, u.selected_subdev((0, 0)), 1.5e6)
+        assert tr is not None
+        # streaming: samples arrive over the BorIP UDP plane
+        assert u._dev.start()
+        x = u._dev.read_samples(256)
+        assert len(x) == 256 and x.dtype == np.complex64
+        u._dev.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
