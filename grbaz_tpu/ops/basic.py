@@ -271,3 +271,46 @@ class PackedToUnpacked(Block):
         bits = ((b >> self.shifts[None, :]) & 1).reshape(-1).astype(jnp.uint8)
         out = x.like(bits, count=x.count * 8, rate_scale=8.0)
         return state, (out,)
+
+
+class Hysteresis(Block):
+    """Two-threshold comparator with memory (gr threshold_ff equivalent —
+    the reference tutorial's hysteresis demo, samples/tutorial/part-02).
+
+    Output is 1 once the input rises to >= ``high``, 0 once it falls to
+    <= ``low``, and HOLDS between the thresholds. Vectorized: each
+    sample takes the value of the most recent decisive sample
+    (cummax over decisive indices + gather), with the carried state
+    covering a block with no crossings at its head.
+    """
+
+    def __init__(self, low: float, high: float, initial: float = 0.0,
+                 name=None):
+        super().__init__(name)
+        if high < low:
+            raise ValueError("high must be >= low")
+        self.low0 = float(low)
+        self.high0 = float(high)
+        self.initial = np.float32(1.0 if initial >= high else 0.0)
+
+    def init_state(self):
+        return dict(prev=self.initial)
+
+    def init_params(self):
+        return dict(low=np.float32(self.low0), high=np.float32(self.high0))
+
+    def apply(self, state, params, x: Stream):
+        xd = x.data.astype(jnp.float32)
+        n = xd.shape[0]
+        hi = xd >= params["high"]
+        lo = xd <= params["low"]
+        decisive = (hi | lo) & x.valid_mask()
+        idx = jnp.arange(n, dtype=jnp.int32)
+        last = jax.lax.associative_scan(jnp.maximum,
+                                        jnp.where(decisive, idx, -1))
+        val = hi.astype(jnp.float32)
+        y = jnp.where(last >= 0, val[jnp.clip(last, 0, n - 1)],
+                      state["prev"])
+        iend = jnp.clip(x.count - 1, 0, n - 1)
+        new_prev = jnp.where(x.count > 0, y[iend], state["prev"])
+        return dict(prev=new_prev), (x.like(y, count=x.count),)

@@ -305,3 +305,85 @@ class ViterbiDecoder(Block):
         new_state = dict(tail=ext[-self.overlap:],
                          warm=jnp.minimum(state["warm"] + 1, 1000))
         return new_state, (x.like(out, count=x.count),)
+
+
+class GLFSRSource(Block):
+    """GLFSR bit source (gr glfsr_source_b equivalent — the stimulus of
+    the reference tutorial's BER and histogram flowgraphs,
+    samples/tutorial/part-01/part-02).
+
+    Emits ``block_size`` LFSR bits per step (uint8 0/1, or f32 +/-1 with
+    ``bipolar=True``). The register update runs as a ``lax.scan``; two
+    conventions: 'gr' = Galois (glfsr masks), 'pn' = left-shift
+    Fibonacci with XOR-fold parity (matches :class:`PNBERv`).
+    """
+
+    n_in = 0
+
+    def __init__(self, degree: int, block_size: int, *, mask: int = 0,
+                 seed: int = 1, bipolar: bool = False,
+                 convention: str = "gr", name=None):
+        super().__init__(name)
+        if not (1 <= degree <= 32):
+            raise ValueError("degree must be in [1, 32]")
+        if convention not in ("gr", "pn"):
+            raise ValueError("convention must be 'gr' or 'pn'")
+        self.degree = int(degree)
+        self.mask = int(mask) if mask else _default_poly(self.degree)
+        self.seed = int(seed) or 1
+        self.block_size = int(block_size)
+        self.bipolar = bool(bipolar)
+        # 'gr': right-shift Galois (lfsr_bits); 'pn': left-shift
+        # Fibonacci — the convention ops.fec.PNBERv self-syncs to, so
+        # GLFSRSource(convention='pn') -> PNBERv is a closed BER loop.
+        self.convention = convention
+
+    def init_state(self):
+        return dict(reg=np.uint32(self.seed))
+
+    def apply(self, state, params):
+        mask = jnp.uint32(self.mask)
+        regmask = jnp.uint32((1 << self.degree) - 1)
+
+        def parity(v):
+            for s in (16, 8, 4, 2, 1):  # XOR-fold popcount parity
+                v = v ^ (v >> s)
+            return v & jnp.uint32(1)
+
+        def step_gr(reg, _):
+            # GR glfsr convention: Galois form — when the output bit is
+            # 1, the polynomial mask XORs into the shifted register
+            out = reg & jnp.uint32(1)
+            reg2 = (reg >> 1) ^ jnp.where(out != 0, mask, jnp.uint32(0))
+            return reg2, out.astype(jnp.uint8)
+
+        def step_pn(reg, _):
+            b = parity(reg & mask)
+            reg2 = ((reg << 1) | b) & regmask
+            return reg2, b.astype(jnp.uint8)
+
+        step = step_gr if self.convention == "gr" else step_pn
+        reg, bits = jax.lax.scan(step, state["reg"], None,
+                                 length=self.block_size)
+        if self.bipolar:
+            data = bits.astype(jnp.float32) * 2.0 - 1.0
+        else:
+            data = bits
+        from grbaz_tpu.core.stream import Stream, StreamMeta
+        out = Stream(data=data, count=jnp.int32(self.block_size),
+                     meta=StreamMeta.start(1.0))
+        return dict(reg=reg), (out,)
+
+
+def _default_poly(degree: int) -> int:
+    """Primitive polynomial masks by degree (GR glfsr table values for
+    the common degrees; maximal-length sequences)."""
+    table = {1: 0x1, 2: 0x3, 3: 0x5, 4: 0x9, 5: 0x12, 6: 0x21, 7: 0x41,
+             8: 0x8E, 9: 0x108, 10: 0x204, 11: 0x402, 12: 0x829,
+             13: 0x100D, 14: 0x2015, 15: 0x4001, 16: 0x8016,
+             17: 0x10004, 18: 0x20013, 19: 0x40013, 20: 0x80004,
+             21: 0x100002, 22: 0x200001, 23: 0x400010, 24: 0x80000D,
+             25: 0x1000004, 26: 0x2000023, 27: 0x4000013, 28: 0x8000004,
+             29: 0x10000002, 30: 0x20000029, 31: 0x40000004,
+             32: 0x80000057}
+    return table[degree]

@@ -34,6 +34,8 @@ REGISTRY: Dict[str, Tuple[str, str, str]] = {
     "plot_sink": ("Sinks", "grbaz_tpu.viz.sinks:PlotSink",
                   "python/plot_sink.py"),
     "eye_sink": ("Sinks", "grbaz_tpu.viz.sinks:EyeSink", "python/eye.py"),
+    "histo_sink": ("Sinks", "grbaz_tpu.viz.sinks:HistoSink",
+                   "samples/tutorial/part-01 histo sink"),
     # -- Networking ----------------------------------------------------------
     "borip_server": ("Networking", "grbaz_tpu.net.borip_server:BorIPServer",
                      "python/borip_server.py"),
@@ -102,6 +104,10 @@ REGISTRY: Dict[str, Tuple[str, str, str]] = {
                 "host GR trellis (auto_fec chain)"),
     "pn_ber": ("Digital", "grbaz_tpu.ops.fec:PNBERv",
                "lib/baz_auto_ber_bf.cc"),
+    "glfsr_source": ("Digital", "grbaz_tpu.ops.fec:GLFSRSource",
+                     "host GR glfsr_source_b (samples/tutorial stimulus)"),
+    "hysteresis": ("Digital", "grbaz_tpu.ops.basic:Hysteresis",
+                   "host GR threshold_ff (samples/tutorial/part-02)"),
     "manchester_decode": ("Digital", "grbaz_tpu.ops.decode:ManchesterDecode",
                           "lib/baz_manchester_decode_bb.cc"),
     # -- Math ----------------------------------------------------------------

@@ -226,3 +226,34 @@ class TimePanel:
         st = self.stream_time()
         return dict(wall_time=now, stream_time=st, lag=now - st,
                     samples=self.samples)
+
+
+class HistoSink:
+    """Histogram sink (the reference tutorial's 'Histo sink test',
+    samples/tutorial/part-01): accumulates value counts over fixed bins
+    and renders ascii bars / exports counts."""
+
+    def __init__(self, n_bins: int = 32, lo: float = -1.5, hi: float = 1.5):
+        self.n_bins = int(n_bins)
+        self.lo, self.hi = float(lo), float(hi)
+        self.counts = np.zeros(self.n_bins, np.int64)
+        self.total = 0
+
+    def push(self, x: np.ndarray):
+        x = np.asarray(x, np.float64).ravel()
+        idx = np.clip(((x - self.lo) / (self.hi - self.lo)
+                       * self.n_bins).astype(np.int64), 0, self.n_bins - 1)
+        np.add.at(self.counts, idx, 1)
+        self.total += len(x)
+
+    def edges(self) -> np.ndarray:
+        return np.linspace(self.lo, self.hi, self.n_bins + 1)
+
+    def render(self, width: int = 50) -> str:
+        peak = max(int(self.counts.max()), 1)
+        e = self.edges()
+        rows = []
+        for b in range(self.n_bins):
+            bar = "#" * int(round(self.counts[b] / peak * width))
+            rows.append(f"{e[b]:+8.3f} | {bar} {int(self.counts[b])}")
+        return "\n".join(rows)
