@@ -47,7 +47,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from grbaz_tpu.ops import exact
-from grbaz_tpu.ops.fir import fir_decimate_frame, low_pass_taps, prepare_taps
+from grbaz_tpu.ops.fir import (fir_decimate_tail_block, low_pass_taps,
+                               prepare_taps)
 from grbaz_tpu.ops.resampler import HIST as RS_HIST
 from grbaz_tpu.ops.resampler import resample_block
 from grbaz_tpu.ops.mmse import TAPS_TABLE
@@ -97,7 +98,11 @@ class ShardedWBFMBank:
                              cfg.channel_width / 2 + cfg.transition / 2,
                              cfg.transition)
         self.h_rev_pad = prepare_taps(taps, cfg.decim)
-        self.hist = len(self.h_rev_pad) - 1
+        # the halo carries TPAD samples (one more than the filter
+        # history) so each shard's FIR runs the zero-copy tail/body
+        # formulation (ops.fir.fir_decimate_tail_block) with no
+        # 2x-slice concat per step
+        self.hist = len(self.h_rev_pad)
         if cfg.block_size // self.pt <= self.hist:
             raise ValueError("time shards too small for filter history")
         self.demod_gain = np.float32(
@@ -172,15 +177,14 @@ class ShardedWBFMBank:
         lo = lax.complex(jnp.cos(ang), jnp.sin(ang))
         xr = x_local * lo
 
-        # --- halo: left neighbor's last `hist` rotated samples ---
+        # --- halo: left neighbor's last `hist` (= tpad) rotated samples ---
         perm = [(i, (i + 1) % pt) for i in range(pt)]
         from_left = lax.ppermute(xr[:, -self.hist:], "time", perm)
         carry_tail = jnp.where(t_idx == 0, fir_tail, from_left)
-        frame = jnp.concatenate([carry_tail, xr], axis=1)
 
-        # --- channel FIR + decimate (vmapped over channel rows) ---
-        y = jax.vmap(lambda f: fir_decimate_frame(f, self.h_rev_pad,
-                                                  cfg.decim))(frame)
+        # --- channel FIR + decimate (zero-copy body, vmapped rows) ---
+        y = jax.vmap(lambda tl, xi: fir_decimate_tail_block(
+            tl, xi, self.h_rev_pad, cfg.decim))(carry_tail, xr)
 
         # --- FM discriminator with 1-sample halo ---
         prev_from_left = lax.ppermute(y[:, -1], "time", perm)
