@@ -111,3 +111,37 @@ def test_bank_mesh_shape_invariance():
         s1 = snr_db(outs[0][i][:n], outs[1][i][:n])
         s2 = snr_db(outs[0][i][:n], outs[2][i][:n])
         assert s1 > 90 and s2 > 90, f"ch{i}: {s1:.1f}/{s2:.1f} dB"
+
+
+def test_bank_bit_exact_across_time_shardings():
+    """The north-star invariant (BASELINE.md): time-shard boundaries are
+    BIT-consistent with a serial run — audio from pt=1/2/4 meshes is
+    byte-identical (the FIR's head/body term grouping is independent of
+    where shard boundaries fall)."""
+    import jax
+    from jax.sharding import Mesh
+    from grbaz_tpu.parallel.wbfm_bank import BankConfig, ShardedWBFMBank
+
+    def run(pt):
+        devs = np.array(jax.devices()[:2 * pt]).reshape(2, pt)
+        mesh = Mesh(devs, ("chan", "time"))
+        cfg = BankConfig(channels=2, block_size=8192, sample_rate=1.024e6,
+                         decim=8, audio_rate=16e3, channel_width=100e3,
+                         transition=100e3)
+        bank = ShardedWBFMBank(cfg, mesh)
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((2, cfg.block_size))
+             + 1j * rng.standard_normal((2, cfg.block_size))) \
+            .astype(np.complex64)
+        state = jax.device_put(bank.init_state(), bank.state_shardings())
+        params = bank.init_params([-100e3, 100e3])
+        xg = jax.device_put(x, bank.input_sharding())
+        state, (audio, counts) = bank.step(state, params, xg)
+        return bank.compact_audio(np.asarray(audio), np.asarray(counts))
+
+    a1, a2, a4 = run(1), run(2), run(4)
+    for c in range(2):
+        np.testing.assert_array_equal(a1[c], a2[c],
+                                      err_msg=f"ch{c}: pt=2 diverged")
+        np.testing.assert_array_equal(a1[c], a4[c],
+                                      err_msg=f"ch{c}: pt=4 diverged")
