@@ -112,9 +112,7 @@ def bench_wbfm():
 def bench_spectral():
     jax = _setup_jax()
     import jax.numpy as jnp
-    from grbaz_tpu.core.graph import Flowgraph
     from grbaz_tpu.models.spectral import SpectralConfig, build_spectrum
-    from grbaz_tpu.ops.detect import PeakDetector
 
     cfg = SpectralConfig(fft_size=4096, block_size=BLOCK, waterfall=False)
     fg, handles = build_spectrum(cfg)
@@ -141,7 +139,6 @@ def bench_music():
 
     n_ant, navg, n_angles = 8, 512, 360
     steering = np.asarray(ula_steering_vectors(n_ant, n_angles=n_angles))
-    rng = np.random.default_rng(0)
 
     @jax.jit
     def init():
@@ -231,7 +228,8 @@ def main():
                            else dict(metric=name, error="no output"))
         except subprocess.TimeoutExpired:
             results.append(dict(metric=name, error="timeout"))
-        time.sleep(20)  # attachment cooldown between processes
+        if name != list(CONFIGS)[-1]:
+            time.sleep(20)  # attachment cooldown between processes
     for r in results:
         print(json.dumps(r), flush=True)
     return 0

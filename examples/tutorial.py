@@ -138,18 +138,29 @@ def part3_udp_fac():
 
     rx = UDPSampleReceiver(port=0, bor=True)
     tx = UDPSampleSender("127.0.0.1", rx.port, bor=True)
-    tx.send_complex(x)
     got = []
-    deadline = time.time() + 5
-    while sum(len(g) for g in got) < n and time.time() < deadline:
+
+    def drain():
         d, _ = rx.read_complex(n)
         if len(d):
             got.append(d)
+
+    # interleave send and drain so the localhost socket buffer never
+    # overflows (one-shot UDP blasts drop packets on loaded hosts)
+    chunk = 1 << 12
+    for i in range(0, n, chunk):
+        tx.send_complex(x[i:i + chunk])
+        drain()
+        time.sleep(0.002)
+    deadline = time.time() + 5
+    while sum(len(g) for g in got) < n and time.time() < deadline:
+        drain()
         time.sleep(0.01)
     tx.close()
     rx.close()
-    xr = np.concatenate(got)[:n]
-    assert len(xr) == n, "UDP transfer incomplete"
+    xr = np.concatenate(got)[:n] if got else np.zeros(0, np.complex64)
+    assert len(xr) == n, \
+        f"UDP transfer incomplete ({sum(len(g) for g in got)}/{n})"
 
     cfg = FACConfig(fac_size=512, sample_rate=fs, fac_rate=1e9)
     fg, _ = build_fac(cfg)

@@ -36,11 +36,13 @@ def _default_device() -> Device:
     from grbaz_tpu.core.config import BorIPConfig, load_config
     try:
         cfg = load_config(BorIPConfig, "borip")
-        if cfg.server:
-            from grbaz_tpu.net.devices import BorIPRemoteDevice
-            return BorIPRemoteDevice(cfg.server)
     except Exception:
-        pass
+        cfg = None
+    if cfg is not None and cfg.server:
+        # a configured server must NOT silently degrade to synthetic
+        # data — propagate connection errors to the caller
+        from grbaz_tpu.net.devices import BorIPRemoteDevice
+        return BorIPRemoteDevice(cfg.server)
     return SyntheticDevice()
 
 

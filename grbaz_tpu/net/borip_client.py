@@ -37,6 +37,7 @@ class RemoteDevice:
         self.rx = UDPSampleReceiver(port=udp_port, bor=True)
         self._sock: Optional[socket.socket] = None
         self._pending = np.zeros(0, np.complex64)  # sub-packet leftovers
+        self._flags_acc = 0  # flags seen while filling the pending buffer
         self._lock = threading.Lock()
         self._keepalive = keepalive
         self._ka_thread: Optional[threading.Thread] = None
@@ -162,16 +163,17 @@ class RemoteDevice:
         one packet (payload_size/4 samples) would starve; a pending
         buffer absorbs the packet granularity.
         """
-        flags = 0
         if len(self._pending) < max_samples:
             want = max(max_samples - len(self._pending), 4096)
             x, flags = self.rx.read_complex(want)
+            self._flags_acc |= flags
             if len(x):
                 self._pending = np.concatenate([self._pending, x]) \
                     if len(self._pending) else x
         out = self._pending[:max_samples]
         self._pending = self._pending[max_samples:]
-        return out, flags
+        flags_out, self._flags_acc = self._flags_acc, 0
+        return out, flags_out
 
     def wait_samples(self, n: int, timeout: float = 5.0) -> np.ndarray:
         """Blocking accumulate of exactly n samples."""

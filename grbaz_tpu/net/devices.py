@@ -257,7 +257,12 @@ class BorIPRemoteDevice(Device):
         from grbaz_tpu.net.borip_client import RemoteDevice
         if server:
             host, _, port = str(server).partition(":")
-            self._rd = RemoteDevice(host, port=int(port) if port else 28888)
+            if port:
+                self._rd = RemoteDevice(host, port=int(port))
+            else:
+                from grbaz_tpu.core.config import BorIPConfig, load_config
+                cfg = load_config(BorIPConfig, "borip")
+                self._rd = RemoteDevice(host, port=cfg.default_port)
         else:
             self._rd = RemoteDevice.from_config()
         self._info = self._rd.select_device(hint) if hint \
@@ -266,9 +271,17 @@ class BorIPRemoteDevice(Device):
     def name(self) -> str:
         return (self._info or {}).get("name", "(remote)")
 
+    def serial(self) -> str:
+        return (self._info or {}).get("serial", "(no serial)")
+
+    def master_clock(self) -> float:
+        return float((self._info or {}).get("master_clock", 0.0))
+
     def gain_range(self) -> GainRange:
-        lo, hi, step = (self._info or {}).get("gain_range", (0.0, 0.0, 1.0))
-        return GainRange(lo, hi, step)
+        info = self._info or {}
+        return GainRange(float(info.get("gain_min", 0.0)),
+                         float(info.get("gain_max", 0.0)),
+                         float(info.get("gain_step", 1.0)))
 
     def antennas(self) -> List[str]:
         return (self._info or {}).get("antennas", ["(Default)"])

@@ -518,7 +518,8 @@ def fft_fir_frame(frame: jax.Array, h_rev_pad: jax.Array, decim: int = 1,
     yseg = jnp.fft.ifft(jnp.fft.fft(segs, axis=1) * hf[None, :], axis=1)
     y = yseg[:, tpad - 1:].reshape(-1)[:n_full]
     if decim > 1:
-        y = y[::decim]
+        y = y[::decim][: n_full // decim]  # floor, matching the
+        # polyphase path's output count
     if not jnp.iscomplexobj(frame):
         return y.real.astype(frame.dtype)
     return y.astype(frame.dtype)

@@ -162,16 +162,26 @@ class VariableRatioResampler(Block):
 
     Inputs: (signal f32/c64 [N], ratio f32 [N]); output: masked block of
     ``capacity`` samples with a data-dependent valid count.
+
+    ``max_outputs_per_input`` budgets the output capacity; it must be
+    >= 1/min(ratio). If the ratio stream underruns the budget (more
+    outputs wanted than slots), the block skips ahead to keep the
+    position valid and raises BUFFER_OVERRUN in the output stream flags
+    — data-dependent counts cannot grow a static buffer (SURVEY.md §7
+    hard part 2).
     """
 
     n_in = 2
 
     def __init__(self, block_size: int, max_outputs_per_input: float = 2.0,
-                 dtype=jnp.complex64, name=None):
+                 dtype=jnp.complex64, nominal_ratio: float | None = None,
+                 name=None):
         super().__init__(name)
         self.block_size = int(block_size)
         self.dtype = dtype
         self.capacity = int(math.ceil(block_size * max_outputs_per_input)) + 1
+        # for output meta only (the true ratio is the stream itself)
+        self.nominal_ratio = nominal_ratio
         self.taps_table = TAPS_TABLE
 
     def init_state(self):
@@ -222,11 +232,26 @@ class VariableRatioResampler(Block):
             step, (state["q_int"], state["mu_frac"]),
             None, length=self.capacity)
         count = jnp.sum(oks.astype(jnp.int32))
+        new_q = q_end - jnp.int32(n)
+        # capacity exhausted before the input was consumed: the samples
+        # between q_end and the kept tail are unrecoverable — skip ahead
+        # and raise the overrun flag instead of silently interpolating
+        # from wrong history
+        overran = new_q < 0
+        new_q = jnp.maximum(new_q, 0)
         new_state = dict(
             tail=frame[-HIST:],
             rr_tail=rr_frame[-HIST:],
-            q_int=q_end - jnp.int32(n),
+            q_int=new_q,
             mu_frac=mu_end,
         )
-        out = x.like(ys, count=count)
+        rate_scale = (1.0 / self.nominal_ratio) if self.nominal_ratio \
+            else 1.0
+        out = x.like(ys, count=count, rate_scale=rate_scale)
+        import dataclasses as _dc
+        from grbaz_tpu.core.stream import stream_flags
+        out = Stream(out.data, out.count, _dc.replace(
+            out.meta, flags=out.meta.flags | jnp.where(
+                overran, jnp.uint32(stream_flags.BUFFER_OVERRUN),
+                jnp.uint32(0))))
         return new_state, (out,)
