@@ -18,12 +18,136 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from grbaz_tpu.core.block import Block
 from grbaz_tpu.core.graph import Flowgraph
+from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.ops import exact
 from grbaz_tpu.ops.demod import FMDeemphasis, PowerSquelch, QuadratureDemod
-from grbaz_tpu.ops.fir import FreqXlatingFIRDecimator, low_pass_taps
+from grbaz_tpu.ops.fir import (FreqXlatingFIRDecimator, low_pass_taps,
+                               prepare_taps)
 from grbaz_tpu.ops.resampler import FractionalResampler
+
+from grbaz_tpu.ops.agc import _affine_combine
+
+
+class WBFMFrontend(Block):
+    """Fused channelizer + (optional squelch) + FM discriminator.
+
+    One Pallas kernel computes the frequency-translating decimating FIR
+    with the LO folded into banded tap matrices and every intermediate in
+    VMEM (:mod:`grbaz_tpu.ops.pallas.wbfm_frontend`); the output-side LO
+    rotation cancels into the discriminator's constant phase offset, so
+    no full-rate transcendentals run at all. Capability parity with the
+    reference flagship chain's first three blocks
+    (/root/reference/samples/RTL-FM.grc: freq_xlating_fir_filter ->
+    pwr_squelch_cc -> quadrature_demod_cf).
+
+    ``backend``: 'auto' (Pallas on TPU, XLA elsewhere), 'pallas', 'xla'.
+    The XLA path uses the same rotated-taps identity and is numerically
+    equivalent (tested) — it is the CPU-test / odd-shape fallback.
+
+    Squelch note: the power gate acts on the *unrotated* channel signal;
+    ``|yf| == |y_rotated|``, so gating commutes with the deferred
+    rotation and matches the unfused chain.
+    """
+
+    def __init__(self, taps, decim: int, center_freq: float,
+                 sample_rate: float, gain: float, *,
+                 squelch_db: Optional[float] = None,
+                 squelch_alpha: float = 1e-4,
+                 backend: str = "auto", precision: str = "high",
+                 interpret: bool = False, name=None):
+        super().__init__(name)
+        self.decim = int(decim)
+        self.h_rev_pad = prepare_taps(taps, self.decim)
+        self.tail_len = self.h_rev_pad.shape[0]
+        self.sample_rate = float(sample_rate)
+        self.center_freq0 = float(center_freq)
+        self.gain0 = float(gain)
+        self.squelch_db = squelch_db
+        self.squelch_alpha = float(squelch_alpha)
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self.precision = precision
+        self.interpret = interpret
+
+    def init_state(self):
+        st = dict(tail=np.zeros((self.tail_len,), np.complex64),
+                  phase=np.uint32(0),
+                  prev_yf=np.complex64(1.0 + 0.0j))
+        if self.squelch_db is not None:
+            st["sq_avg"] = np.float32(0.0)
+        return st
+
+    def init_params(self):
+        pr = dict(lo_inc=exact.freq_to_turns_u32(-self.center_freq0,
+                                                 self.sample_rate),
+                  gain=np.float32(self.gain0))
+        if self.squelch_db is not None:
+            pr["sq_threshold"] = np.float32(
+                10.0 ** (float(self.squelch_db) / 10.0))
+            pr["sq_alpha"] = np.float32(self.squelch_alpha)
+        return pr
+
+    @staticmethod
+    def freq_params(center_freq: float, sample_rate: float):
+        return dict(lo_inc=exact.freq_to_turns_u32(-center_freq, sample_rate))
+
+    def _use_pallas(self, n_new: int) -> bool:
+        from grbaz_tpu.ops.pallas.wbfm_frontend import supported
+        if not supported(n_new, self.decim):
+            return False
+        if self.backend == "pallas":
+            return True
+        if self.backend == "xla":
+            return False
+        return jax.default_backend() in ("tpu", "axon")
+
+    def apply(self, state, params, x: Stream):
+        from grbaz_tpu.ops.pallas import wbfm_frontend as wf
+        n = x.data.shape[0]
+        frame = jnp.concatenate([state["tail"][1:], x.data])
+        lo_inc = params["lo_inc"]
+        if self._use_pallas(n):
+            yf = wf.xlating_fir_frame_pallas(
+                frame, self.h_rev_pad, self.decim, lo_inc,
+                precision=self.precision, interpret=self.interpret)
+        else:
+            # same rotated-taps identity, XLA polyphase matmuls, same
+            # (unrotated) output convention — identical g construction.
+            from grbaz_tpu.ops.fir import _fir_decimate_poly_ctaps
+            g = wf.rotated_taps(jnp.asarray(self.h_rev_pad, jnp.float32),
+                                lo_inc)
+            yf = _fir_decimate_poly_ctaps(frame, g, self.decim)
+        new_state = dict(state)
+        if self.squelch_db is not None:
+            p = yf.real * yf.real + yf.imag * yf.imag
+            n_q = p.shape[0]
+            valid = jnp.arange(n_q, dtype=jnp.int32) < x.count // self.decim
+            a = jnp.where(valid, 1.0 - params["sq_alpha"], 1.0
+                          ).astype(jnp.float32)
+            b = jnp.where(valid, p * params["sq_alpha"], 0.0)
+            A, B = jax.lax.associative_scan(_affine_combine, (a, b))
+            avg = A * state["sq_avg"] + B
+            yf = jnp.where(avg >= params["sq_threshold"], yf,
+                           jnp.zeros((), yf.dtype))
+            new_state["sq_avg"] = avg[-1]
+        d, last_yf = wf.demod_unrotated(yf, state["prev_yf"], params["gain"],
+                                        lo_inc, self.decim)
+        n_out_count = x.count // self.decim
+        idx = jnp.clip(n_out_count - 1, 0, d.shape[0] - 1)
+        new_state.update(
+            tail=x.data[-self.tail_len:] if n >= self.tail_len else
+            jnp.concatenate([state["tail"], x.data])[-self.tail_len:],
+            phase=state["phase"].astype(jnp.uint32)
+            + jnp.uint32(n) * lo_inc.astype(jnp.uint32),
+            prev_yf=jnp.where(n_out_count > 0, yf[idx], state["prev_yf"]))
+        out = x.like(d, count=n_out_count, rate_scale=1.0 / self.decim)
+        return new_state, (out,)
 
 
 @dataclasses.dataclass
@@ -44,6 +168,15 @@ class WBFMConfig:
     # rotate-then-filter path on v5e (the chain is HBM-bound, not
     # VPU-bound), so the simpler path stays the default.
     rotate_taps: bool = False
+    # fused front end: channelizer + squelch + FM discriminator as ONE
+    # Pallas kernel (VMEM-resident intermediates) on TPU, the XLA
+    # rotated-taps path elsewhere. False reproduces the r1/r2 chain of
+    # separate blocks.
+    fused: bool = True
+    # Mosaic matmul decomposition for the fused kernel: 'high' (3-pass
+    # bf16, ~f32 product quality) or 'default' (1-pass bf16, ~54 dB SNR
+    # — the RTL dongles' 8-bit ADC floor).
+    fused_precision: str = "high"
 
 
 def build_wbfm(cfg: WBFMConfig):
@@ -57,6 +190,23 @@ def build_wbfm(cfg: WBFMConfig):
     if cfg.block_size % decim:
         raise ValueError("block_size must be a multiple of decim")
     fg = Flowgraph("wbfm")
+    if cfg.fused:
+        front = WBFMFrontend(
+            low_pass_taps(1.0, fs, cfg.channel_width / 2 + cfg.transition / 2,
+                          cfg.transition),
+            decim, cfg.center_freq, fs,
+            quad / (2 * np.pi * cfg.max_deviation),
+            squelch_db=cfg.squelch_db, precision=cfg.fused_precision,
+            name="frontend")
+        resamp = FractionalResampler(cfg.block_size // decim,
+                                     quad / cfg.audio_rate,
+                                     dtype=jnp.float32, name="resampler")
+        deemph = FMDeemphasis(cfg.audio_rate, cfg.deemph_tau)
+        fg.input("iq", front)
+        fg.chain(front, resamp, deemph)
+        fg.output("audio", deemph)
+        fg.output("quad", front)  # demodulated quad-rate tap (scanner use)
+        return fg, dict(channel=front, resampler=resamp, frontend=front)
     chan = FreqXlatingFIRDecimator(
         low_pass_taps(1.0, fs, cfg.channel_width / 2 + cfg.transition / 2,
                       cfg.transition),
