@@ -64,6 +64,56 @@ def limbs_add(lo: jax.Array, hi: jax.Array, delta: jax.Array):
     return new_lo, hi + carry
 
 
+def limbs_add_i32(lo: jax.Array, hi: jax.Array, delta: jax.Array):
+    """Exact 64-bit add of a SIGNED int32 ``delta`` to uint32 limbs.
+
+    The delta is sign-extended to 64 bits: the high limb receives the
+    carry out of the low add plus the sign extension (all-ones for a
+    negative delta). Broadcasting works elementwise (vector deltas).
+    """
+    d32 = delta.astype(jnp.int32)
+    du = d32.astype(jnp.uint32)
+    new_lo = lo.astype(jnp.uint32) + du
+    carry = (new_lo < du).astype(jnp.uint32)
+    sign_ext = jnp.where(d32 < 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    return new_lo, hi.astype(jnp.uint32) + carry + sign_ext
+
+
+def bits_to_f32(x: jax.Array) -> jax.Array:
+    """Bitcast uint32/int32 -> float32 (exact payload in an f32 slot).
+
+    Event arrays are float32; absolute sample indices must not be
+    *converted* to f32 (exact only to 2^24 — ~5 s at the RTL full rate,
+    where the reference keeps exact uhd time, lib/baz_gate.cc:147-153).
+    Bitcasting preserves all 32 bits; decode with :func:`f32_to_bits` /
+    :func:`decode_u32`.
+    """
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def f32_to_bits(f: jax.Array, dtype=jnp.uint32) -> jax.Array:
+    """Inverse of :func:`bits_to_f32` (in-graph)."""
+    return jax.lax.bitcast_convert_type(f, dtype)
+
+
+def decode_u32(f) -> np.ndarray:
+    """Host-side decode of bitcast-f32 fields back to uint32."""
+    return np.asarray(f, np.float32).view(np.uint32)
+
+
+def decode_i32(f) -> np.ndarray:
+    """Host-side decode of bitcast-f32 fields back to int32."""
+    return np.asarray(f, np.float32).view(np.int32)
+
+
+def decode_abs_index(hi_f, lo_f) -> "np.ndarray | int":
+    """Host-side decode of a (hi, lo) bitcast-f32 limb pair to a python
+    int (or int64 array) absolute sample index."""
+    hi = decode_u32(hi_f).astype(np.int64)
+    lo = decode_u32(lo_f).astype(np.int64)
+    return (hi << 32) | lo
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StreamMeta:

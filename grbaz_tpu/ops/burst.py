@@ -26,16 +26,43 @@ import jax
 import jax.numpy as jnp
 
 from grbaz_tpu.core.block import Block
-from grbaz_tpu.core.stream import Stream, StreamMeta, limbs_add
+from grbaz_tpu.core.stream import (Stream, StreamMeta, bits_to_f32,
+                                   decode_abs_index, f32_to_bits, limbs_add,
+                                   limbs_add_i32)
+
+
+def decode_abs_events(rows, count=None) -> np.ndarray:
+    """Host-side decode of Gate/Burster event rows.
+
+    Fields 0/1 are BITCAST uint32 limbs of the absolute start sample
+    (exact for any stream length); fields 2+ are plain float32. Returns
+    ``[n, F-1]`` float64 rows ``(abs_start, field2, ...)``.
+    """
+    rows = np.asarray(rows, np.float32)
+    n = int(count) if count is not None else len(rows)
+    rows = rows[:n]
+    abs_idx = decode_abs_index(rows[:, 0], rows[:, 1]).astype(np.float64)
+    return np.concatenate([abs_idx[:, None], rows[:, 2:].astype(np.float64)],
+                          axis=1)
 
 
 def _event_pack(emits, rows, cap):
-    """Compact per-sample event rows [n, F] into [cap, F] + count."""
+    """Compact per-sample event rows [n, F] into [cap, F] + count.
+
+    The scatter runs in uint32 bit-space: event rows may carry BITCAST
+    integer fields (limb pairs), and float scatter-add would quiet an
+    sNaN-patterned limb (0.0 + sNaN != same bits). Integer adds of the
+    zero contributions preserve every payload exactly. Rows past ``cap``
+    land (wrapped-added) in the last slot — count is clamped, so only an
+    overflowing block's final slot is unreliable.
+    """
     pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
     slot = jnp.where(emits, jnp.clip(pos, 0, cap - 1), cap - 1)
-    out = jnp.zeros((cap, rows.shape[1]), rows.dtype).at[slot].add(
-        jnp.where(emits[:, None], rows, 0))
-    return out, jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
+    rows_bits = f32_to_bits(rows.astype(jnp.float32))
+    out_bits = jnp.zeros((cap, rows.shape[1]), jnp.uint32).at[slot].add(
+        jnp.where(emits[:, None], rows_bits, jnp.uint32(0)))
+    return bits_to_f32(out_bits), \
+        jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
 
 
 class TimeKeeper(Block):
@@ -44,8 +71,10 @@ class TimeKeeper(Block):
 
     The reference scans rx_time tags; here time is exact in StreamMeta.
     Outputs the input unchanged plus a per-block time report event
-    [abs_hi, abs_lo, epoch_sec, epoch_frac, sample_rate]. ``offset``
-    param mirrors set-time corrections (seconds added to reports).
+    [abs_hi, abs_lo, epoch_sec, epoch_frac, sample_rate] where the limb
+    fields are BITCAST uint32 (exact; decode with stream.decode_u32 /
+    decode_abs_index). ``offset`` param mirrors set-time corrections
+    (seconds added to reports).
     """
 
     n_out = 2
@@ -59,7 +88,7 @@ class TimeKeeper(Block):
     def apply(self, state, params, x: Stream):
         m = x.meta
         report = jnp.stack([
-            m.abs_hi.astype(jnp.float32), m.abs_lo.astype(jnp.float32),
+            bits_to_f32(m.abs_hi), bits_to_f32(m.abs_lo),
             m.epoch_sec.astype(jnp.float32) + params["offset"],
             m.epoch_frac, jnp.float32(m.sample_rate)])[None, :]
         return state, (x, Stream(report, jnp.int32(1), m))
@@ -137,13 +166,18 @@ class Gate(Block):
             jax.lax.scan(step, state, (idx, fire, lvl))
         y = jnp.where(gate_open, x.data, jnp.zeros((), x.data.dtype))
 
-        # burst events: absolute start = meta.abs + start_rel + delay
-        lo, hi = limbs_add(x.meta.abs_lo, x.meta.abs_hi,
-                           jnp.uint32(self.delay))
-        start_lo = lo.astype(jnp.float32) + starts.astype(jnp.float32)
+        # burst events: absolute start = meta.abs + start_rel + delay,
+        # carried as exact uint32 limb pairs (bitcast into the f32 rows
+        # — the reference keeps exact uhd time, lib/baz_gate.cc:147-153;
+        # f32-converted indices quantize past 2^24 ~ 5 s at 3.2 Msamp/s)
+        lo0, hi0 = limbs_add(x.meta.abs_lo, x.meta.abs_hi,
+                             jnp.uint32(self.delay))
+        lo, hi = limbs_add(jnp.full((n,), lo0, jnp.uint32),
+                           jnp.full((n,), hi0, jnp.uint32),
+                           starts.astype(jnp.uint32))
         rows = jnp.stack([
-            jnp.full((n,), hi.astype(jnp.float32)),
-            start_lo, lengths.astype(jnp.float32), peaks], axis=1)
+            bits_to_f32(hi), bits_to_f32(lo),
+            lengths.astype(jnp.float32), peaks], axis=1)
         events, n_ev = _event_pack(closings, rows, self.MAX_BURSTS)
         return new_state, (x.like(y, count=x.count),
                            Stream(events, n_ev, x.meta))
@@ -243,11 +277,12 @@ class Merge(Block):
     stamps).
 
     Inputs: (main, burst_frames [cap, L], burst_starts_lo [cap] — the
-    low 32 bits of each burst's absolute start sample). Bursts whose
-    span intersects the current block are added into it (adds, so
-    overlapping bursts sum — drop-residual handling simplified to
-    clipping at block edges; a burst spanning a boundary contributes to
-    both blocks via its absolute placement).
+    low 32 bits of each burst's absolute start sample, as either a
+    uint32/int32 stream or the BITCAST-f32 limb field of a Gate/Burster
+    event row). Bursts whose span intersects the current block are added
+    into it (adds, so overlapping bursts sum — drop-residual handling
+    simplified to clipping at block edges; a burst spanning a boundary
+    contributes to both blocks via its absolute placement).
     """
 
     n_in = 3
@@ -262,8 +297,12 @@ class Merge(Block):
         n = main.data.shape[0]
         base = main.meta.abs_lo  # low limb is exact for placement windows
         cap, L = bursts.data.shape
+        if starts.data.dtype in (jnp.float32, np.float32):
+            starts_u32 = f32_to_bits(starts.data)  # bitcast limb field
+        else:
+            starts_u32 = starts.data.astype(jnp.uint32)
         # relative start of each burst within this block (wrap-aware)
-        rel = (starts.data.astype(jnp.uint32) - base).astype(jnp.int32)
+        rel = (starts_u32 - base).astype(jnp.int32)
         valid = (jnp.arange(cap) < bursts.count)[:, None]
         offs = rel[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
         in_blk = (offs >= 0) & (offs < n) & valid
@@ -458,12 +497,14 @@ class Burster(Block):
         frames = jnp.where(mask, frames, jnp.zeros((), self.dtype))
         n_bursts = jnp.sum(valid.astype(jnp.int32))
 
-        lo_f = x.meta.abs_lo.astype(jnp.float32) + starts_c.astype(
-            jnp.float32)
+        # exact absolute starts: signed rel offset (starts_c may be < 0
+        # for a window opening in the previous block) into uint32 limbs
+        lo, hi = limbs_add_i32(jnp.full((cap,), x.meta.abs_lo, jnp.uint32),
+                               jnp.full((cap,), x.meta.abs_hi, jnp.uint32),
+                               starts_c)
         rows = jnp.stack([
-            jnp.full((cap,), x.meta.abs_hi.astype(jnp.float32)),
-            lo_f, lengths.astype(jnp.float32), k.astype(jnp.float32)],
-            axis=1)
+            bits_to_f32(hi), bits_to_f32(lo),
+            lengths.astype(jnp.float32), k.astype(jnp.float32)], axis=1)
         rows = jnp.where(valid[:, None], rows, 0.0)
         new_state = dict(hist=ext[-L:], next_start=next_start)
         return new_state, (Stream(frames, n_bursts, x.meta),

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from grbaz_tpu.core.block import Block
-from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.core.stream import Stream, bits_to_f32
 
 
 # ---------------------------------------------------------------------------
@@ -267,16 +267,24 @@ class RadarDetector(Block):
 
         new_state, (emits, starts, lens, maxs, sums) = jax.lax.scan(
             step, state, x.data.astype(jnp.float32))
-        # compact events to the front (sorted scatter by emission order)
-        order = jnp.cumsum(emits.astype(jnp.int32)) - 1
-        n_ev = jnp.sum(emits.astype(jnp.int32))
-        cap = self.MAX_EVENTS
-        slot = jnp.where(emits, jnp.clip(order, 0, cap - 1), cap - 1)
-        ev = jnp.zeros((cap, 4), jnp.float32)
-        rows = jnp.stack([starts.astype(jnp.float32),
+        # compact events to the front; the absolute start index rides
+        # BITCAST int32 (exact — f32 conversion quantizes past 2^24,
+        # ~5 s at 3.2 Msamp/s; decode with stream.decode_i32 or
+        # RadarDetector.decode_events)
+        from grbaz_tpu.ops.burst import _event_pack
+        rows = jnp.stack([bits_to_f32(starts),
                           lens.astype(jnp.float32), maxs, sums], axis=1)
-        # scatter-add: non-emitting rows contribute zeros, so parking them
-        # at slot cap-1 is harmless
-        ev = ev.at[slot].add(jnp.where(emits[:, None], rows, 0.0))
-        events = Stream(data=ev, count=jnp.minimum(n_ev, cap), meta=x.meta)
+        ev, n_ev = _event_pack(emits, rows, self.MAX_EVENTS)
+        events = Stream(data=ev, count=n_ev, meta=x.meta)
         return new_state, (events,)
+
+    @staticmethod
+    def decode_events(rows, count=None) -> np.ndarray:
+        """Host-side decode: [n, 4] float64 (start_idx, len, max, sum)."""
+        from grbaz_tpu.core.stream import decode_i32
+        rows = np.asarray(rows, np.float32)
+        n = int(count) if count is not None else len(rows)
+        rows = rows[:n]
+        out = rows.astype(np.float64)
+        out[:, 0] = decode_i32(rows[:, 0]).astype(np.float64)
+        return out

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from grbaz_tpu.core.block import Block
-from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.core.stream import Stream, bits_to_f32
 
 FRAME_SYNC = 0x5575F5FF77FF  # 48-bit C4FM frame sync
 FS_DIBITS = np.array([(FRAME_SYNC >> (46 - 2 * i)) & 0x3 for i in range(24)],
@@ -101,17 +101,16 @@ class P25FrameSync(Block):
         base = state["global_sym"] - hist
         sym_idx = base + jnp.arange(n_pos, dtype=jnp.int32)
 
-        # compact events
-        cap = self.MAX_EVENTS
-        order = jnp.cumsum(hit.astype(jnp.int32)) - 1
-        n_ev = jnp.sum(hit.astype(jnp.int32))
-        slot = jnp.where(hit, jnp.clip(order, 0, cap - 1), cap - 1)
-        rows = jnp.stack([sym_idx.astype(jnp.float32),
+        # compact events; sym_idx rides BITCAST (exact to the full int32
+        # counter range — f32 conversion quantizes past 2^24 dibits,
+        # ~1 h at 4800 baud; decode with stream.decode_i32)
+        from grbaz_tpu.ops.burst import _event_pack
+        rows = jnp.stack([bits_to_f32(sym_idx),
                           nac.astype(jnp.float32),
                           duid.astype(jnp.float32),
                           errors.astype(jnp.float32)], axis=1)
-        ev = jnp.zeros((cap, 4), jnp.float32)
-        ev = ev.at[slot].add(jnp.where(hit[:, None], rows, 0.0))
+        cap = self.MAX_EVENTS
+        ev, n_ev = _event_pack(hit, rows, cap)
 
         # carry: the 55 buffer positions preceding the valid end
         # (buf[count : count+55]) — valid data stays a suffix

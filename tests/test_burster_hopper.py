@@ -4,7 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from grbaz_tpu.core.stream import Stream, StreamMeta
-from grbaz_tpu.ops.burst import Burster, BursterConfig, rx_time_of
+from grbaz_tpu.ops.burst import (Burster, BursterConfig, decode_abs_events,
+                                 rx_time_of)
 from grbaz_tpu.ops.hopper import HopperDemux
 
 
@@ -35,9 +36,9 @@ def test_burster_interval_mode_sample_grid():
     f2 = np.asarray(frames2.data)
     np.testing.assert_array_equal(f2[0], [30, 31, 32, 33])  # from history
     np.testing.assert_array_equal(f2[1], [40, 41, 42, 43])
-    # event rows carry absolute start (abs_lo + rel)
-    rows = np.asarray(ev2.data)
-    assert rows[0][1] == 30.0 and rows[0][2] == 4.0
+    # event rows carry the exact absolute start as bitcast limbs
+    rows = decode_abs_events(ev2.data, int(ev2.count))
+    assert rows[0][0] == 30.0 and rows[0][1] == 4.0
 
 
 def test_burster_seconds_interval_and_config():
@@ -63,7 +64,7 @@ def test_burster_trigger_mode_with_tag_lengths():
     f = np.asarray(frames.data)
     np.testing.assert_array_equal(f[0], [5, 6, 7, 8, 9, 10])
     np.testing.assert_array_equal(f[1], [20, 21, 22, 0, 0, 0])  # masked tail
-    assert np.asarray(rows.data)[1][2] == 3.0
+    assert decode_abs_events(rows.data, 2)[1][1] == 3.0
 
 
 def test_rx_time_of_exact():

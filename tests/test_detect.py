@@ -93,10 +93,11 @@ def test_radar_detector_reports_bursts():
     outs = run_blocks(rd, x, 4096)
     ev, count = outs[0][0]
     assert count == len(bursts)
+    dec = RadarDetector.decode_events(ev, count)
     for i, (s, l) in enumerate(bursts):
-        assert abs(ev[i, 0] - s) <= 1    # start
-        assert abs(ev[i, 1] - l) <= 1    # length
-        assert abs(ev[i, 2] - 2.0) < 1e-5  # max
+        assert abs(dec[i, 0] - s) <= 1    # start (exact bitcast int32)
+        assert abs(dec[i, 1] - l) <= 1    # length
+        assert abs(dec[i, 2] - 2.0) < 1e-5  # max
 
 
 def test_correlator_long_sync_fft_path():

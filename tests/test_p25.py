@@ -18,7 +18,11 @@ def _stream(dib, count=None, rate=4800.0):
 
 def _events(ev_stream):
     n = int(ev_stream.count)
-    return np.asarray(ev_stream.data)[:n]
+    rows = np.asarray(ev_stream.data)[:n].astype(np.float64)
+    if len(rows):
+        from grbaz_tpu.core.stream import decode_i32
+        rows[:, 0] = decode_i32(np.asarray(ev_stream.data)[:n, 0])
+    return rows
 
 
 def test_fs_constants():
