@@ -52,22 +52,52 @@ def _orthonormalize(v: jax.Array) -> jax.Array:
     return jnp.stack(cols, axis=1)
 
 
-def signal_subspace(r: jax.Array, n_signals: int, iters: int = 24) -> jax.Array:
+def signal_subspace(r: jax.Array, n_signals: int, iters: int = 24,
+                    tol: float = 1e-5, max_iters: int = 96) -> jax.Array:
     """Dominant-eigenvector basis of Hermitian r [M, M] via orthogonal
     (subspace) iteration — pure matmul + Gram-Schmidt, no LAPACK custom
     calls. TPU-native: everything maps to the MXU and batches cleanly.
+
+    Convergence guard (LAPACK-``eig_sym`` fidelity without LAPACK,
+    reference lib/baz_music_doa.cc:71-160): iteration runs on ``R^2``
+    (one extra tiny matmul per step squares the eigenvalue ratios —
+    doubling the convergence rate for clustered spectra) inside a
+    ``lax.while_loop`` that stops when the subspace residual
+
+        || R2 V - V (V^H R2 V) ||_F  <=  tol * || R2 V ||_F
+
+    falls below ``tol`` or at ``max_iters``. ``iters`` is the floor
+    (at least this many iterations always run); closely-spaced
+    eigenvalues — e.g. two sources a few degrees apart — thus get the
+    extra iterations they need instead of silently underconverging.
     """
     m = r.shape[0]
     # generic-position init: first n columns of the DFT matrix
     k = np.arange(m)
     f = np.exp(2j * np.pi * np.outer(k, np.arange(n_signals)) / m)
-    v = jnp.asarray(f.astype(np.complex64))
+    v0 = jnp.asarray(f.astype(np.complex64))
+    # spectral-ratio acceleration; R is PSD so R^2 keeps the eigenbasis
+    r2 = jax.lax.dot(r, r, precision=_HI)
 
-    def body(v, _):
-        v = jax.lax.dot(r, v, precision=_HI)
-        return _orthonormalize(v), None
+    def residual(v):
+        bv = jax.lax.dot(r2, v, precision=_HI)
+        h = jax.lax.dot(v.conj().T, bv, precision=_HI)   # [n, n]
+        res = bv - jax.lax.dot(v, h, precision=_HI)
+        num = jnp.sum(res.real ** 2 + res.imag ** 2)
+        den = jnp.maximum(jnp.sum(bv.real ** 2 + bv.imag ** 2), 1e-30)
+        return num / den  # squared relative residual
 
-    v, _ = jax.lax.scan(body, v, None, length=iters)
+    def cond(carry):
+        v, i = carry
+        return (i < iters) | ((i < max_iters)
+                              & (residual(v) > jnp.float32(tol) ** 2))
+
+    def body(carry):
+        v, i = carry
+        v = _orthonormalize(jax.lax.dot(r2, v, precision=_HI))
+        return v, i + 1
+
+    v, _ = jax.lax.while_loop(cond, body, (v0, jnp.int32(0)))
     return v
 
 
