@@ -27,7 +27,7 @@ from grbaz_tpu.net.devices import Device, GainRange, DEVICE_REGISTRY
 def _load():
     from grbaz_tpu import native
     c = ctypes
-    lib = native.load("rtlsdr_core", ["rtlsdr_core.cc"])
+    lib = native.load("rtlsdr_core", ["rtlsdr_core.cc", "tuner_programs.inc", "tuner_tables.h"])
     lib.rtl_open_sim.restype = c.c_void_p
     lib.rtl_open_sim.argtypes = [c.c_double, c.c_double, c.c_double,
                                  c.c_uint64, c.c_int]
@@ -58,6 +58,15 @@ def _load():
     lib.rtl_stats.argtypes = [c.c_void_p, c.POINTER(c.c_uint64),
                               c.POINTER(c.c_uint64), c.POINTER(c.c_uint64),
                               c.POINTER(c.c_double)]
+    lib.rtl_i2c_log_count.restype = c.c_int
+    lib.rtl_i2c_log_count.argtypes = [c.c_void_p]
+    lib.rtl_i2c_log_get.restype = c.c_int
+    lib.rtl_i2c_log_get.argtypes = [c.c_void_p, c.c_int,
+                                    c.POINTER(c.c_uint8),
+                                    c.POINTER(c.c_uint8)]
+    lib.rtl_i2c_log_clear.argtypes = [c.c_void_p]
+    lib.rtl_actual_lo.restype = c.c_double
+    lib.rtl_actual_lo.argtypes = [c.c_void_p]
     return lib
 
 
@@ -180,6 +189,29 @@ class RTLSource(Device):
                             ctypes.byref(p), ctypes.byref(lvl))
         return dict(samples_received=s.value, overflows=o.value,
                     read_packet_count=p.value, buffer_level=lvl.value)
+
+    def i2c_log(self, clear: bool = False):
+        """Tuner I2C register-write log: list of (reg, value) pairs.
+
+        The register-fidelity assertion surface: the r820t/e4000 drivers
+        are data-driven register programs (native/tuner_programs.inc),
+        and this log is every write they emitted since the last clear.
+        """
+        n = self._lib.rtl_i2c_log_count(self._hh)
+        reg = ctypes.c_uint8()
+        val = ctypes.c_uint8()
+        out = []
+        for i in range(n):
+            if self._lib.rtl_i2c_log_get(self._hh, i, ctypes.byref(reg),
+                                         ctypes.byref(val)) == 0:
+                out.append((reg.value, val.value))
+        if clear:
+            self._lib.rtl_i2c_log_clear(self._hh)
+        return out
+
+    def actual_lo(self) -> float:
+        """Exact synthesized LO frequency (Hz) from the PLL registers."""
+        return float(self._lib.rtl_actual_lo(self._hh))
 
     def close(self):
         self.stop()

@@ -24,8 +24,10 @@ def _build(name: str, sources, extra_flags=()):
     if os.path.exists(so_path) and all(
             os.path.getmtime(so_path) >= os.path.getmtime(s) for s in srcs):
         return so_path
+    # .h/.inc entries are staleness dependencies only, not compile units
+    units = [s for s in srcs if not s.endswith((".h", ".inc"))]
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17",
-           "-o", so_path, *srcs, *extra_flags]
+           "-o", so_path, *units, *extra_flags]
     subprocess.run(cmd, check=True, capture_output=True)
     return so_path
 

@@ -40,6 +40,8 @@
 #include <thread>
 #include <vector>
 
+#include "tuner_tables.h"
+
 namespace rtl {
 
 // ---------------------------------------------------------------------------
@@ -58,10 +60,20 @@ class Transport {
   virtual int read_reg(uint16_t addr, uint32_t* value) = 0;
   virtual int write_reg(uint16_t addr, uint32_t value) = 0;
   virtual int i2c_read(uint8_t dev, uint8_t reg, uint8_t* value) = 0;
-  virtual int i2c_write(uint8_t dev, uint8_t reg, uint8_t value) = 0;
+  // Non-virtual logging shim: every tuner I2C register write is
+  // recorded (reg, value) so tests can assert the exact register
+  // programs a driver emits (the register-fidelity contract).
+  int i2c_write(uint8_t dev, uint8_t reg, uint8_t value) {
+    int r = i2c_write_impl(dev, reg, value);
+    if (r == 0) i2c_log_.push_back({reg, value});
+    return r;
+  }
+  virtual int i2c_write_impl(uint8_t dev, uint8_t reg, uint8_t value) = 0;
   // bulk IQ: fills buf with interleaved u8 IQ; returns bytes
   virtual int bulk_read(uint8_t* buf, int len) = 0;
   virtual void configure(double rate, double tuner_lo, double ppm) = 0;
+
+  std::vector<std::pair<uint8_t, uint8_t>> i2c_log_;
 };
 
 // RAII I2C repeater scope (the demod gates tuner I2C behind a repeater
@@ -97,6 +109,9 @@ class Tuner {
   virtual GainRange gain_range() const = 0;
   virtual int set_gain_mode(int mode) = 0;  // 0 auto, 1 manual
   virtual double if_frequency() const { return 0.0; }
+  // exact synthesized LO (register-program tuners); behavioral models
+  // report the tracked frequency
+  virtual double actual_lo_hz() const { return frequency(); }
 };
 
 using TunerFactory = Tuner* (*)(Transport*);
@@ -113,124 +128,10 @@ std::vector<TunerProbe>& tuner_registry() {
   return r;
 }
 
-// -- an E4000-class tuner model: wide PLL, coarse+fine gain stages ---------
-class TunerE4000Class : public Tuner {
- public:
-  explicit TunerE4000Class(Transport* t) : t_(t) {}
-  const char* name() const override { return "e4000"; }
-  int initialise() override {
-    // init script shape: enable, DC offset cal, gain to mid
-    t_->i2c_write(kAddr, 0x02, 0x40);
-    t_->i2c_write(kAddr, 0x07, 0x00);
-    gain_db_ = 15.0;
-    return 0;
-  }
-  int set_frequency(double hz) override {
-    // integer-N PLL with 3-bit prescaler selection: f = xtal * N / R
-    // pick R in {2,4,8,16} so N stays in range; program fractional part
-    // in 1/65536 steps (original arithmetic, e4000-like structure).
-    double best_err = 1e18;
-    for (int rdiv : {2, 4, 8, 16}) {
-      double n = hz * rdiv / kCrystalHz;
-      uint32_t n_int = (uint32_t)n;
-      uint32_t n_frac = (uint32_t)((n - n_int) * 65536.0 + 0.5);
-      double actual = kCrystalHz * (n_int + n_frac / 65536.0) / rdiv;
-      double err = std::fabs(actual - hz);
-      if (n_int >= 8 && n_int <= 4095 && err < best_err) {
-        best_err = err;
-        freq_ = actual;
-        t_->i2c_write(kAddr, 0x09, (uint8_t)(n_int >> 4));
-        t_->i2c_write(kAddr, 0x0A, (uint8_t)(((n_int & 0xF) << 4)
-                                             | (n_frac >> 12)));
-        t_->i2c_write(kAddr, 0x0B, (uint8_t)((n_frac >> 4) & 0xFF));
-      }
-    }
-    return best_err < 1e18 ? 0 : -1;
-  }
-  double frequency() const override { return freq_; }
-  int set_gain(double db) override {
-    if (mode_ == 0) return -1;  // auto mode rejects manual sets
-    GainRange r = gain_range();
-    if (db < r.start) db = r.start;
-    if (db > r.stop) db = r.stop;
-    gain_db_ = std::round(db / r.step) * r.step;
-    // split across LNA (6 dB steps) + mixer (3 dB steps)
-    int lna = (int)(gain_db_ / 6.0);
-    int mix = (int)((gain_db_ - lna * 6.0) / 3.0);
-    t_->i2c_write(kAddr, 0x14, (uint8_t)lna);
-    t_->i2c_write(kAddr, 0x15, (uint8_t)mix);
-    return 0;
-  }
-  double gain() const override { return gain_db_; }
-  GainRange gain_range() const override { return {-1.0, 49.0, 0.5}; }
-  int set_gain_mode(int mode) override {
-    mode_ = mode;
-    t_->i2c_write(kAddr, 0x1A, mode ? 0x00 : 0x17);
-    return 0;
-  }
-  static Tuner* make(Transport* t) { return new TunerE4000Class(t); }
-  static constexpr uint8_t kAddr = 0x64;
-
- private:
-  Transport* t_;
-  double freq_ = 0.0, gain_db_ = 0.0;
-  int mode_ = 1;
-};
-
-// -- an R820-class tuner model: high-side LO with IF, 29-step gain table ---
-class TunerR820Class : public Tuner {
- public:
-  explicit TunerR820Class(Transport* t) : t_(t) {}
-  const char* name() const override { return "r820t"; }
-  int initialise() override {
-    t_->i2c_write(kAddr, 0x05, 0x80);
-    gain_idx_ = 10;
-    return 0;
-  }
-  int set_frequency(double hz) override {
-    // high-side injection: LO = rf + IF; sigma-delta PLL with 16-bit
-    // fractional part over xtal/2
-    double lo = hz + kIfHz;
-    double vco = lo * 2.0;  // simplified divider chain: /2 output
-    double n = vco / (kCrystalHz / 2.0);
-    uint32_t ni = (uint32_t)n;
-    uint32_t sdm = (uint32_t)((n - ni) * 65536.0 + 0.5);
-    t_->i2c_write(kAddr, 0x14, (uint8_t)(ni & 0xFF));
-    t_->i2c_write(kAddr, 0x15, (uint8_t)(sdm & 0xFF));
-    t_->i2c_write(kAddr, 0x16, (uint8_t)(sdm >> 8));
-    freq_ = (kCrystalHz / 2.0) * (ni + sdm / 65536.0) / 2.0 - kIfHz;
-    return 0;
-  }
-  double frequency() const override { return freq_; }
-  int set_gain(double db) override {
-    if (mode_ == 0) return -1;
-    GainRange r = gain_range();
-    if (db < r.start) db = r.start;
-    if (db > r.stop) db = r.stop;
-    gain_idx_ = (int)std::round((db - r.start) / r.step);
-    t_->i2c_write(kAddr, 0x0C, (uint8_t)gain_idx_);
-    return 0;
-  }
-  double gain() const override {
-    GainRange r = gain_range();
-    return r.start + gain_idx_ * r.step;
-  }
-  GainRange gain_range() const override { return {0.0, 49.6, 1.6}; }
-  int set_gain_mode(int mode) override {
-    mode_ = mode;
-    t_->i2c_write(kAddr, 0x0D, mode ? 0x10 : 0x00);
-    return 0;
-  }
-  double if_frequency() const override { return kIfHz; }
-  static Tuner* make(Transport* t) { return new TunerR820Class(t); }
-  static constexpr uint8_t kAddr = 0x34;
-  static constexpr double kIfHz = 3.57e6;
-
- private:
-  Transport* t_;
-  double freq_ = 0.0;
-  int gain_idx_ = 0, mode_ = 1;
-};
+// The e4000 / r820t entries use the REGISTER-FAITHFUL program drivers
+// in tuner_programs.inc (data tables extracted from the reference
+// drivers by tools/extract_tuner_tables.py); the remaining families
+// keep capability-level behavioral models.
 
 // -- E4K-class model: the alternative (osmocom-lineage) E4000 driver -------
 // Same silicon as e4000 (7-bit addr 0x64, id reg 0x02 == 0x40; reference
@@ -295,6 +196,8 @@ class TunerE4KClass : public Tuner {
   double freq_ = 0.0, gain_db_ = 0.0;
   int mode_ = 1;
 };
+
+#include "tuner_programs.inc"
 
 // helper: snap a request to the nearest entry of a discrete gain table
 static double snap_gain(const double* table, int n, double db, int* idx) {
@@ -463,10 +366,10 @@ class TunerFC2580Class : public Tuner {
 struct TunerRegistrar {
   TunerRegistrar() {
     tuner_registry().push_back(
-        {TunerE4000Class::kAddr, 0x02, 0x40, &TunerE4000Class::make,
+        {TunerE4000Program::kAddr, 0x02, 0x40, &TunerE4000Program::make,
          "e4000"});
     tuner_registry().push_back(
-        {TunerR820Class::kAddr, 0x00, 0x69, &TunerR820Class::make,
+        {TunerR820TProgram::kAddr, 0x00, 0x69, &TunerR820TProgram::make,
          "r820t"});
     tuner_registry().push_back(
         {TunerE4KClass::kAddr, 0x02, 0x40, &TunerE4KClass::make, "e4k"});
@@ -519,7 +422,7 @@ class SimTransport : public Transport {
     *v = it == i2c_.end() ? 0 : it->second;
     return 0;
   }
-  int i2c_write(uint8_t dev, uint8_t reg, uint8_t v) override {
+  int i2c_write_impl(uint8_t dev, uint8_t reg, uint8_t v) override {
     if (dev != tuner_addr_) return -1;
     i2c_[reg] = v;
     return 0;
@@ -572,7 +475,7 @@ class FileTransport : public Transport {
     *v = 0;
     return 0;
   }
-  int i2c_write(uint8_t dev, uint8_t, uint8_t) override {
+  int i2c_write_impl(uint8_t dev, uint8_t, uint8_t) override {
     return dev == tuner_addr_ ? 0 : -1;
   }
   void configure(double, double, double) override {}
@@ -636,6 +539,10 @@ class Demod {
 
   const char* tuner_name() const {
     return tuner_ ? tuner_->name() : "(none)";
+  }
+  Transport* transport() { return t_.get(); }
+  double actual_lo() const {
+    return tuner_ ? tuner_->actual_lo_hz() : 0.0;
   }
 
   int set_sample_rate(double rate) {
@@ -849,5 +756,21 @@ void rtl_stats(void* h, uint64_t* samples, uint64_t* overflows,
   if (buffer_level) *buffer_level = d->buffer_level();
 }
 void rtl_close(void* h) { delete (rtl::Demod*)h; }
+
+// I2C register-write log (register-program assertion surface for tests)
+int rtl_i2c_log_count(void* h) {
+  return (int)((rtl::Demod*)h)->transport()->i2c_log_.size();
+}
+int rtl_i2c_log_get(void* h, int idx, uint8_t* reg, uint8_t* val) {
+  auto& log = ((rtl::Demod*)h)->transport()->i2c_log_;
+  if (idx < 0 || idx >= (int)log.size()) return -1;
+  *reg = log[idx].first;
+  *val = log[idx].second;
+  return 0;
+}
+void rtl_i2c_log_clear(void* h) {
+  ((rtl::Demod*)h)->transport()->i2c_log_.clear();
+}
+double rtl_actual_lo(void* h) { return ((rtl::Demod*)h)->actual_lo(); }
 
 }  // extern "C"

