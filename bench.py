@@ -107,13 +107,18 @@ def main():
     jax.block_until_ready(states)
     log(f"bench: chain compiled+warm in {time.time() - t0:.1f}s, timing ...")
 
-    reps = 50
-    t0 = time.time()
-    for _ in range(reps):
-        states, outs = jit_step(states, params, ins)
-    jax.block_until_ready(states)
-    dt = time.time() - t0
-    msps = reps * block / dt / 1e6
+    # median of N trials with spread: the remote attachment shows
+    # run-to-run variance (±30% observed r2); one number hides it
+    reps, trials = 30, 5
+    samples = []
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(reps):
+            states, outs = jit_step(states, params, ins)
+        jax.block_until_ready(states)
+        samples.append(reps * block / (time.time() - t0) / 1e6)
+    samples.sort()
+    msps = samples[len(samples) // 2]
 
     # sanity: audio must be finite and non-degenerate (fetch one scalar)
     chk = float(np.asarray(jax.jit(lambda s: jnp.sum(jnp.abs(s.data)))(outs["audio"])))
@@ -124,6 +129,9 @@ def main():
         "value": round(msps, 2),
         "unit": "Msamp/s",
         "vs_baseline": round(msps / 100.0, 4),
+        "median_of": trials,
+        "min": round(samples[0], 2),
+        "max": round(samples[-1], 2),
     }))
 
 

@@ -12,6 +12,16 @@ Configs (BASELINE.json):
   3 spectral      — windowed FFT power spectrum + FAC + peak detector
   4 music         — MUSIC covariance + subspace + pseudospectrum scan
   5 bank          — 16-channel WBFM decoder bank, single chip
+
+Additional modes:
+  roofline — FIR + FFT kernel GFLOP/s vs MXU peak and the HBM-bandwidth
+             bound (the BASELINE "speed-of-light measured vs roofline"
+             row); run on the real chip.
+  scaling  — sharded WBFM bank samples/s at mesh sizes 1/2/4/8 with
+             parallel efficiency (CPU virtual devices now, TPU pod when
+             available): ``python benchmarks.py scaling``.
+  ingest   — sustained host path: BorIP UDP wire -> native receiver ->
+             StreamPump -> compiled chain, measured Msamp/s.
 """
 
 import json
@@ -204,12 +214,247 @@ def bench_bank():
                 unit="Mchansamp/s")
 
 
+# v5e single-chip peaks for the roofline report (public spec: 197
+# TFLOP/s bf16 MXU peak, 819 GB/s HBM BW; f32-accurate 3-pass matmuls
+# run at ~1/3 of the bf16 peak)
+PEAK_BF16_GFLOPS = 197_000.0
+PEAK_HBM_GBS = 819.0
+
+
+def bench_roofline():
+    """Measured GFLOP/s + bound utilization for the two hot kernels."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from grbaz_tpu.ops.fir import low_pass_taps, prepare_taps
+    from grbaz_tpu.ops.pallas.wbfm_frontend import (supported,
+                                                    xlating_fir_frame_pallas)
+
+    results = []
+    # -- fused channelizer (banded matmul, HIGH precision) ----------------
+    decim = 8
+    taps = low_pass_taps(1.0, 3.2e6, 112.5e3, 75e3)
+    h = prepare_taps(taps, decim)
+    tpad = int(h.shape[0])
+    n_new = BLOCK
+    assert supported(n_new, decim)
+
+    @jax.jit
+    def mk_frame():
+        t = jnp.arange(n_new + tpad - 1, dtype=jnp.float32)
+        return jnp.exp(1j * 0.001 * t).astype(jnp.complex64)
+
+    frame = mk_frame()
+    lo_inc = np.uint32(123456789)
+    run = jax.jit(lambda f: xlating_fir_frame_pallas(f, h, decim,
+                                                     jnp.uint32(lo_inc)))
+    y = run(frame)
+    jax.block_until_ready(y)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            y = run(frame)
+        jax.block_until_ready(y)
+        best = min(best, (time.time() - t0) / 20)
+    n_out = n_new // decim
+    # useful complex MACs: n_out * tpad * (4 mul + 4 add) real flops
+    flops_useful = n_out * tpad * 8
+    # MXU work actually issued: banded K x 128-lane output tiles
+    k_lanes = ((2 * (decim * 127 + tpad) + 127) // 128) * 128
+    flops_issued = 2 * (n_out // 128) * k_lanes * 128 * 2
+    bytes_min = n_new * 8 + n_out * 8  # c64 in, c64 out
+    gflops = flops_useful / best / 1e9
+    results.append(dict(
+        metric="roofline_fir", value=round(gflops, 1), unit="GFLOP/s",
+        issued_gflops=round(flops_issued / best / 1e9, 1),
+        mxu_pct_bf16_peak=round(100 * flops_issued / best / 1e9
+                                / PEAK_BF16_GFLOPS, 2),
+        hbm_pct=round(100 * (bytes_min / best / 1e9) / PEAK_HBM_GBS, 1),
+        us_per_block=round(best * 1e6, 1)))
+
+    # -- batched FFT (spectral path) --------------------------------------
+    B, F = 256, 4096
+
+    @jax.jit
+    def mk_x():
+        t = jnp.arange(B * F, dtype=jnp.float32).reshape(B, F)
+        return jnp.exp(1j * 0.001 * t).astype(jnp.complex64)
+
+    x = mk_x()
+    fft = jax.jit(lambda a: jnp.fft.fft(a, axis=1))
+    y = fft(x)
+    jax.block_until_ready(y)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            y = fft(x)
+        jax.block_until_ready(y)
+        best = min(best, (time.time() - t0) / 20)
+    flops = 5.0 * B * F * np.log2(F)
+    bytes_min = B * F * 8 * 2
+    results.append(dict(
+        metric="roofline_fft", value=round(flops / best / 1e9, 1),
+        unit="GFLOP/s",
+        hbm_pct=round(100 * (bytes_min / best / 1e9) / PEAK_HBM_GBS, 1),
+        us_per_batch=round(best * 1e6, 1)))
+    return results
+
+
+def bench_scaling_one(n_dev: int):
+    """Sharded WBFM bank throughput on an n_dev mesh (set
+    xla_force_host_platform_device_count before calling)."""
+    jax = _setup_jax()
+    # the image's sitecustomize force-selects the axon backend; honor
+    # the platform the scaling supervisor chose (config wins over env)
+    jax.config.update("jax_platforms",
+                      os.environ.get("JAX_PLATFORMS", "cpu").split(",")[0])
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from grbaz_tpu.core.stream import Stream, StreamMeta
+    from grbaz_tpu.parallel.wbfm_bank import BankConfig, ShardedWBFMBank
+
+    C, block = 8, 1 << 16
+    pc = min(n_dev, C)
+    pt = n_dev // pc
+    mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(pc, pt),
+                ("chan", "time"))
+    cfg = BankConfig(channels=C, block_size=block)
+    bank = ShardedWBFMBank(cfg, mesh)
+    params = bank.init_params(np.linspace(-1.2e6, 1.2e6, C))
+    state = jax.device_put(bank.init_state(), bank.state_shardings())
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        (rng.standard_normal((C, block)) + 1j * rng.standard_normal(
+            (C, block))).astype(np.complex64), bank.input_sharding())
+    state, outs = bank.step(state, params, x)
+    jax.block_until_ready(state)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        s = state
+        for _ in range(10):
+            s, outs = bank.step(s, params, x)
+        jax.block_until_ready(s)
+        best = min(best, (time.time() - t0) / 10)
+        state = s
+    return dict(metric=f"bank_scaling_{n_dev}dev",
+                value=C * block / best / 1e6, unit="Mchansamp/s",
+                devices=n_dev)
+
+
+def bench_scaling():
+    """Supervise one child per mesh size; print the efficiency table."""
+    results = []
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ,
+                   JAX_PLATFORMS=os.environ.get("GRBAZ_SCALING_PLATFORM",
+                                                "cpu"),
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                              + f" --xla_force_host_platform_device_count={n}"
+                              ).strip())
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             f"scaling_{n}"], timeout=540, stdout=subprocess.PIPE, env=env)
+        line = next((l for l in
+                     out.stdout.decode(errors="replace").splitlines()[::-1]
+                     if l.startswith("{")), None)
+        if line:
+            results.append(json.loads(line))
+    if results:
+        base = results[0]["value"]
+        for r in results:
+            n = r["devices"]
+            r["efficiency"] = round(r["value"] / (base * n), 3)
+    return results
+
+
+def bench_ingest():
+    """Sustained host-ingest path: UDP wire -> pump -> compiled chain."""
+    jax = _setup_jax()
+    import threading
+    from grbaz_tpu.core.executor import InputSpec, StreamExecutor
+    from grbaz_tpu.core.pump import StreamPump
+    from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
+    from grbaz_tpu.net.udp import UDPSampleReceiver, UDPSampleSender
+
+    fs = 3.2e6
+    block = 1 << 17
+    cfg = WBFMConfig(sample_rate=fs, center_freq=0.0, block_size=block)
+    fg, _ = build_wbfm(cfg)
+    ex = StreamExecutor(fg, {"iq": InputSpec((block,), "complex64", fs)})
+
+    rx = UDPSampleReceiver(port=0, bor=True)
+    tx = UDPSampleSender("127.0.0.1", rx.port, bor=True)
+    rng = np.random.default_rng(0)
+    chunk = (0.3 * (rng.standard_normal(1 << 15)
+                    + 1j * rng.standard_normal(1 << 15))
+             ).astype(np.complex64)
+
+    stop = threading.Event()
+    sent = [0]
+
+    def blast():
+        while not stop.is_set():
+            tx.send_complex(chunk)
+            sent[0] += len(chunk)
+
+    consumed = [0]
+
+    def source():
+        data, _flags = rx.read_complex(block)
+        if len(data) < block:
+            return None
+        consumed[0] += block
+        return {"iq": data[:block].astype(np.complex64)}
+
+    def sink(data, count):
+        pass
+
+    pump = StreamPump(ex, source, {"audio": sink})
+    pump.start()
+    th = threading.Thread(target=blast, daemon=True)
+    th.start()
+    time.sleep(2.0)                       # warmup + compile
+    c0 = consumed[0]
+    t0 = time.time()
+    time.sleep(float(os.environ.get("GRBAZ_INGEST_SECONDS", "8")))
+    dc = consumed[0] - c0
+    dt = time.time() - t0
+    stop.set()
+    pump.stop()
+    rx.close()
+    tx.close()
+    st = pump.stats() if hasattr(pump, "stats") else {}
+    return dict(metric="host_ingest", value=dc / dt / 1e6, unit="Msamp/s",
+                pump=st)
+
+
 CONFIGS = dict(resampler_agc=bench_resampler_agc, wbfm=bench_wbfm,
                spectral=bench_spectral, music=bench_music, bank=bench_bank)
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "roofline":
+        for r in bench_roofline():
+            print(json.dumps(r), flush=True)
+        return 0
+    if which == "scaling":
+        for r in bench_scaling():
+            print(json.dumps(r), flush=True)
+        return 0
+    if which.startswith("scaling_"):
+        r = bench_scaling_one(int(which.split("_")[1]))
+        r["value"] = round(float(r["value"]), 2)
+        print(json.dumps(r), flush=True)
+        return 0
+    if which == "ingest":
+        r = bench_ingest()
+        r["value"] = round(float(r["value"]), 2)
+        print(json.dumps(r), flush=True)
+        return 0
     if which != "all":
         r = CONFIGS[which]()
         r["value"] = round(float(r["value"]), 2)

@@ -140,7 +140,7 @@ class StagePipeline:
         bshape = ((mb_local.shape[0],) if batched else ()) + self.buf_shape
 
         def tick(carry, t):
-            states, cur, out_acc = carry
+            states, cur = carry
             feed = (mb_local[:, jnp.minimum(t, M - 1)] if batched
                     else mb_local[jnp.minimum(t, M - 1)])
             cur = jnp.where(s_idx == 0, feed, cur)
@@ -149,34 +149,29 @@ class StagePipeline:
             item = t - s_idx
             active = (item >= 0) & (item < M)
             states, out = lax.switch(s_idx, branches, states, cur, active)
-            # drain: last stage's output at tick t is microbatch t-fill
-            k = jnp.clip(t - fill, 0, M - 1)
-            take = (s_idx == S - 1) & (t >= fill)
-            if batched:
-                slot = lax.dynamic_slice_in_dim(out_acc, k, 1, axis=1)
-                upd = jnp.where(take, out[:, None], slot)
-                out_acc = lax.dynamic_update_slice_in_dim(out_acc, upd, k,
-                                                          axis=1)
-            else:
-                slot = lax.dynamic_slice_in_dim(out_acc, k, 1, axis=0)
-                upd = jnp.where(take, out[None], slot)
-                out_acc = lax.dynamic_update_slice_in_dim(out_acc, upd, k,
-                                                          axis=0)
             # shift right over ICI; device 0 receives zeros (overwritten
             # by the next feed)
             cur = lax.ppermute(out, axis, perm)
-            return (states, cur, out_acc), None
+            # the per-tick stage output is a stacked scan OUTPUT (written
+            # in place into the preallocated ys buffer) — NOT a carried
+            # accumulator, which would round-trip the whole [M, ...]
+            # buffer every tick. The drain below slices the last stage's
+            # ticks [fill, fill+M) out of ys.
+            return (states, cur), out
 
         cur0 = jnp.zeros(bshape, jnp.float32)
-        out0 = jnp.zeros_like(mb_local)
-        (states, _, out_acc), _ = lax.scan(
-            tick, (states, cur0, out0), jnp.arange(M + fill, dtype=jnp.int32))
+        (states, _), ys = lax.scan(
+            tick, (states, cur0), jnp.arange(M + fill, dtype=jnp.int32))
 
         # replicate each stage's state from its owner; the drained output
-        # from the last stage's device
+        # from the last stage's device (its tick-t output is microbatch
+        # t-fill)
         states = tuple(
             _masked_replicate(states[i], s_idx == i, axis)
             for i in range(S))
+        out_acc = ys[fill: fill + M]
+        if batched:
+            out_acc = jnp.moveaxis(out_acc, 0, 1)  # [Bl, M, *buf]
         out_acc = _masked_replicate(out_acc, s_idx == S - 1, axis)
         return states, out_acc
 
@@ -217,7 +212,8 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
     from grbaz_tpu.ops import exact
     from grbaz_tpu.ops.demod import FMDeemphasis
     from grbaz_tpu.ops.fir import (FreqXlatingFIRDecimator, low_pass_taps,
-                                   fir_decimate_frame, prepare_taps)
+                                   fir_decimate_frame,
+                                   fir_decimate_tail_block, prepare_taps)
     from grbaz_tpu.ops.mmse import TAPS_TABLE
     from grbaz_tpu.ops.resampler import HIST as RS_HIST
     from grbaz_tpu.ops.resampler import resample_block
@@ -251,11 +247,13 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
         x = lax.complex(buf[0], buf[1])
         lo, phase2 = exact.oscillator(N, state["phase"], jnp.uint32(lo_inc))
         xr = x * lo
-        frame = jnp.concatenate([state["tail"], xr])
-        y = fir_decimate_frame(frame, jnp.asarray(h_rev_pad), decim)
+        # zero-copy tail/body FIR — no 2x-block frame concat per
+        # microbatch (the tail carries TPAD samples, ops/fir.py)
+        y = fir_decimate_tail_block(state["tail"], xr,
+                                    jnp.asarray(h_rev_pad), decim)
         out = jnp.zeros(buf_shape, jnp.float32)
         out = out.at[0, :nq].set(y.real).at[1, :nq].set(y.imag)
-        return dict(tail=frame[-hist:], phase=phase2), out
+        return dict(tail=xr[-(hist + 1):], phase=phase2), out
 
     squelch_thr = None
     if cfg.squelch_db is not None:
@@ -321,7 +319,7 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
     if squelch_thr is not None:
         demod_state["sq_avg"] = np.float32(0.0)
     init_states = (
-        dict(tail=np.zeros(hist, np.complex64), phase=np.uint32(0)),
+        dict(tail=np.zeros(hist + 1, np.complex64), phase=np.uint32(0)),
         demod_state,
         dict(tail=np.zeros(RS_HIST, np.float32),
              mu_int=np.int32(RS_HIST), mu_frac=np.uint32(0)),
