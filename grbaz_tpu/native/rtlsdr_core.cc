@@ -208,107 +208,7 @@ static double snap_gain(const double* table, int n, double db, int* idx) {
   return table[best];
 }
 
-// -- Fitipower FC0012-class model: zero-IF, integer-N PLL, 3 LNA gains -----
-// (7-bit addr 0x63, id reg 0x00 == 0xa1; gains {0, 5, 10} dB — reference
-// lib/rtl2832-tuner_fc0012.h:32-41, .cc:205-209)
-class TunerFC0012Class : public Tuner {
- public:
-  explicit TunerFC0012Class(Transport* t) : t_(t) {}
-  const char* name() const override { return "fc0012"; }
-  int initialise() override {
-    t_->i2c_write(kAddr, 0x0B, 0x82);
-    gain_db_ = kGains[1];
-    return 0;
-  }
-  int set_frequency(double hz) override {
-    // zero-IF: VCO in [1.1, 2.5] GHz via output divider chain
-    static const int kDiv[] = {2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
-    for (int dv : kDiv) {
-      double vco = hz * dv;
-      if (vco < 1.1e9 || vco > 2.5e9) continue;
-      double n = vco / (kCrystalHz / 2.0);
-      uint32_t ni = (uint32_t)n;
-      uint32_t frac = (uint32_t)((n - ni) * 65536.0 + 0.5);
-      t_->i2c_write(kAddr, 0x01, (uint8_t)ni);
-      t_->i2c_write(kAddr, 0x02, (uint8_t)(frac >> 8));
-      t_->i2c_write(kAddr, 0x03, (uint8_t)(frac & 0xFF));
-      freq_ = (kCrystalHz / 2.0) * (ni + frac / 65536.0) / dv;
-      return 0;
-    }
-    return -1;
-  }
-  double frequency() const override { return freq_; }
-  int set_gain(double db) override {
-    if (mode_ == 0) return -1;
-    int idx;
-    gain_db_ = snap_gain(kGains, 3, db, &idx);
-    static const uint8_t kLnaCode[] = {0x00, 0x08, 0x17};
-    t_->i2c_write(kAddr, 0x13, kLnaCode[idx]);
-    return 0;
-  }
-  double gain() const override { return gain_db_; }
-  GainRange gain_range() const override { return {0.0, 10.0, 5.0}; }
-  int set_gain_mode(int mode) override { mode_ = mode; return 0; }
-  static Tuner* make(Transport* t) { return new TunerFC0012Class(t); }
-  static constexpr uint8_t kAddr = 0x63;  // 0xc6 >> 1
-  static constexpr double kGains[3] = {0.0, 5.0, 10.0};
-
- private:
-  Transport* t_;
-  double freq_ = 0.0, gain_db_ = 0.0;
-  int mode_ = 1;
-};
-
-// -- Fitipower FC0013-class model: FC0012 successor, 4 LNA gain points -----
-// (same 7-bit addr 0x63, id reg 0x00 == 0xa3; gains {-6.3, 7.1, 19.1,
-// 19.7} dB — reference lib/rtl2832-tuner_fc0013.cc:16-18,164-169)
-class TunerFC0013Class : public Tuner {
- public:
-  explicit TunerFC0013Class(Transport* t) : t_(t) {}
-  const char* name() const override { return "fc0013"; }
-  int initialise() override {
-    t_->i2c_write(kAddr, 0x0B, 0x82);
-    t_->i2c_write(kAddr, 0x09, 0x02);
-    gain_db_ = kGains[1];
-    return 0;
-  }
-  int set_frequency(double hz) override {
-    static const int kDiv[] = {2, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
-    for (int dv : kDiv) {
-      double vco = hz * dv;
-      if (vco < 1.1e9 || vco > 2.5e9) continue;
-      double n = vco / (kCrystalHz / 2.0);
-      uint32_t ni = (uint32_t)n;
-      uint32_t frac = (uint32_t)((n - ni) * 65536.0 + 0.5);
-      t_->i2c_write(kAddr, 0x01, (uint8_t)ni);
-      t_->i2c_write(kAddr, 0x02, (uint8_t)(frac >> 8));
-      t_->i2c_write(kAddr, 0x03, (uint8_t)(frac & 0xFF));
-      freq_ = (kCrystalHz / 2.0) * (ni + frac / 65536.0) / dv;
-      return 0;
-    }
-    return -1;
-  }
-  double frequency() const override { return freq_; }
-  int set_gain(double db) override {
-    if (mode_ == 0) return -1;
-    int idx;
-    gain_db_ = snap_gain(kGains, 4, db, &idx);
-    static const uint8_t kLnaCode[] = {0x02, 0x08, 0x17, 0x10};
-    t_->i2c_write(kAddr, 0x14, kLnaCode[idx]);
-    return 0;
-  }
-  double gain() const override { return gain_db_; }
-  GainRange gain_range() const override { return {-6.3, 19.7, 0.1}; }
-  int set_gain_mode(int mode) override { mode_ = mode; return 0; }
-  static Tuner* make(Transport* t) { return new TunerFC0013Class(t); }
-  static constexpr uint8_t kAddr = 0x63;
-  static constexpr double kGains[4] = {-6.3, 7.1, 19.1, 19.7};
-
- private:
-  Transport* t_;
-  double freq_ = 0.0, gain_db_ = 0.0;
-  int mode_ = 1;
-};
+// FC0012/FC0013 use the register programs in tuner_programs.inc.
 
 // -- FCI FC2580-class model: wideband, fractional-N, kHz granularity -------
 // (7-bit addr 0x56, id reg 0x01 == 0x56; tuned frequency rounds to 1 kHz
@@ -374,10 +274,10 @@ struct TunerRegistrar {
     tuner_registry().push_back(
         {TunerE4KClass::kAddr, 0x02, 0x40, &TunerE4KClass::make, "e4k"});
     tuner_registry().push_back(
-        {TunerFC0012Class::kAddr, 0x00, 0xa1, &TunerFC0012Class::make,
+        {TunerFC0012Program::kAddr, 0x00, 0xa1, &TunerFC0012Program::make,
          "fc0012"});
     tuner_registry().push_back(
-        {TunerFC0013Class::kAddr, 0x00, 0xa3, &TunerFC0013Class::make,
+        {TunerFC0013Program::kAddr, 0x00, 0xa3, &TunerFC0013Program::make,
          "fc0013"});
     tuner_registry().push_back(
         {TunerFC2580Class::kAddr, 0x01, 0x56, &TunerFC2580Class::make,

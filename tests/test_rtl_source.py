@@ -62,8 +62,10 @@ def test_discrete_gain_table_snapping():
     d.close()
     d = RTLSource(transport="sim", tuner="fc0012", rate=2.048e6)
     d.set_gain_mode(True)
-    d.gain(6.0)
-    assert d.gain() == pytest.approx(5.0)  # nearest of {0,5,10}
+    d.gain(0.6)
+    # nearest of the reference's _mapGainsFC0012 {0.0, 0.5, 1.0} dB
+    # (rtl2832-tuner_fc0012.cc:205)
+    assert d.gain() == pytest.approx(0.5)
     d.close()
 
 

@@ -214,3 +214,90 @@ def test_e4000_if_filter_registers(e4000):
     regs = {r for r, _ in e4000.i2c_log()}
     for expect in (0x60, 0x50, 0x61, 0x51, 0x63, 0x53, 0x62, 0x52):
         assert expect in regs, hex(expect)
+
+
+def _fc_pll_model(khz, bands, xtal_khz=28800):
+    """Independent FC0012/13 coarse+fine divider model."""
+    multi = r5 = r6 = None
+    for m, b5, b6 in bands:
+        if khz * m < 3560000:
+            multi, r5, r6 = m, b5, b6
+            break
+    dvco = khz * multi
+    r6 |= 0x08
+    half = xtal_khz // 2
+    xdiv = dvco // half
+    if dvco - xdiv * half >= half // 2:
+        xdiv += 1
+    pm, am = xdiv // 8, xdiv % 8
+    r1, r2 = (am + 8, pm - 1) if am < 2 else (am, pm)
+    xin = ((dvco - (dvco // half) * half) << 15) // half
+    if xin >= 16384:
+        xin += 32768
+    return multi, r1, r2, (xin >> 8) & 0xFF, xin & 0xFF, r5, ~0xC0 & r6
+
+
+FC0012_BANDS = [(96, 0x82, 0x00), (64, 0x82, 0x02), (48, 0x42, 0x00),
+                (32, 0x42, 0x02), (24, 0x22, 0x00), (16, 0x22, 0x02),
+                (12, 0x12, 0x00), (8, 0x12, 0x02), (6, 0x0A, 0x00),
+                (4, 0x0A, 0x02)]
+
+
+@pytest.mark.parametrize("rf_mhz", [64.0, 180.0, 300.0, 600.0, 880.0])
+def test_fc0012_pll_registers(rf_mhz):
+    d = RTLSource(transport="sim", tuner="fc0012", rate=2.048e6)
+    try:
+        d.i2c_log(clear=True)
+        assert d.freq(rf_mhz * 1e6)
+        writes = dict(d.i2c_log())
+        multi, r1, r2, r3, r4, r5, r6 = _fc_pll_model(int(rf_mhz * 1000),
+                                                      FC0012_BANDS)
+        assert writes[0x01] == r1 and writes[0x02] == r2
+        assert writes[0x03] == r3 and writes[0x04] == r4
+        assert writes[0x05] == r5 and writes[0x06] == r6
+        # VCO cal strobe sequence present
+        log = d.i2c_log()
+        evals = [v for r, v in log if r == 0x0E]
+        assert evals[:3] == [0x80, 0x00, 0x00]
+        assert abs(d.actual_lo() - rf_mhz * 1e6) < 28.8e6 / 2 / 32768 + 1
+    finally:
+        d.close()
+
+
+def test_fc0012_init_write_list():
+    d = RTLSource(transport="sim", tuner="fc0012", rate=2.048e6)
+    try:
+        log = d.i2c_log()
+        # FC0012_Open list starts 0x01=0x05 ... and ends with the
+        # nim_rtl2832 re-writes (0x0D, 0x11, 0x15)
+        assert log[0] == (0x01, 0x05) and log[1] == (0x02, 0x10)
+        assert (0x12, 0x1F) in log[:20]         # max gain
+        assert log[20:23] == [(0x0D, 0x02), (0x11, 0x00), (0x15, 0x04)]
+    finally:
+        d.close()
+
+
+def test_fc0013_band_switch_and_gain():
+    d = RTLSource(transport="sim", tuner="fc0013", rate=2.048e6)
+    try:
+        # VHF: tracking filter bits on reg 0x1D, reg 0x07 bit4 set
+        d.i2c_log(clear=True)
+        d.freq(180e6)
+        log = d.i2c_log()
+        r1d = [v for r, v in log if r == 0x1D]
+        assert r1d and (r1d[0] & 0x1C) == 0x1C     # entry write
+        assert any((v & 0x1C) == 0x18 for v in r1d)  # 177.5-184.5 band
+        assert any(r == 0x07 and (v & 0x10) for r, v in log)
+        # UHF: reg 0x14 gains band bits 0x40
+        d.i2c_log(clear=True)
+        d.freq(600e6)
+        log = d.i2c_log()
+        assert any(r == 0x14 and (v & 0x60) == 0x40 for r, v in log)
+        # gain map: 19.1 dB -> code 0x11 in reg 0x14 bits [4:0]
+        d.set_gain_mode(True)
+        d.i2c_log(clear=True)
+        d.gain(19.1)
+        g = [v for r, v in d.i2c_log() if r == 0x14]
+        assert g and (g[-1] & 0x1F) == 0x11
+    finally:
+        d.close()
