@@ -210,58 +210,7 @@ static double snap_gain(const double* table, int n, double db, int* idx) {
 
 // FC0012/FC0013 use the register programs in tuner_programs.inc.
 
-// -- FCI FC2580-class model: wideband, fractional-N, kHz granularity -------
-// (7-bit addr 0x56, id reg 0x01 == 0x56; tuned frequency rounds to 1 kHz
-// — reference lib/rtl2832-tuner_fc2580.h:33-35, .cc:137)
-class TunerFC2580Class : public Tuner {
- public:
-  explicit TunerFC2580Class(Transport* t) : t_(t) {}
-  const char* name() const override { return "fc2580"; }
-  int initialise() override {
-    t_->i2c_write(kAddr, 0x02, 0x01);
-    gain_db_ = 12.0;
-    return 0;
-  }
-  int set_frequency(double hz) override {
-    // kHz-granular programming: the control interface works in kHz
-    double target = std::floor((hz + 500.0) / 1000.0) * 1000.0;
-    static const int kDiv[] = {1, 2, 4, 8, 16, 32};
-    for (int dv : kDiv) {
-      double vco = target * dv;
-      if (vco < 2.4e9 || vco > 4.8e9) continue;
-      double n = vco / kCrystalHz;
-      uint32_t ni = (uint32_t)n;
-      uint32_t sdm = (uint32_t)((n - ni) * 1048576.0 + 0.5);  // 20-bit
-      t_->i2c_write(kAddr, 0x18, (uint8_t)ni);
-      t_->i2c_write(kAddr, 0x19, (uint8_t)(sdm >> 12));
-      t_->i2c_write(kAddr, 0x1A, (uint8_t)((sdm >> 4) & 0xFF));
-      t_->i2c_write(kAddr, 0x1B, (uint8_t)(sdm & 0xF));
-      freq_ = target;  // kHz-exact by construction
-      return 0;
-    }
-    return -1;
-  }
-  double frequency() const override { return freq_; }
-  int set_gain(double db) override {
-    if (mode_ == 0) return -1;
-    GainRange r = gain_range();
-    if (db < r.start) db = r.start;
-    if (db > r.stop) db = r.stop;
-    gain_db_ = std::round(db);
-    t_->i2c_write(kAddr, 0x49, (uint8_t)gain_db_);
-    return 0;
-  }
-  double gain() const override { return gain_db_; }
-  GainRange gain_range() const override { return {0.0, 30.0, 1.0}; }
-  int set_gain_mode(int mode) override { mode_ = mode; return 0; }
-  static Tuner* make(Transport* t) { return new TunerFC2580Class(t); }
-  static constexpr uint8_t kAddr = 0x56;  // 0xac >> 1
-
- private:
-  Transport* t_;
-  double freq_ = 0.0, gain_db_ = 0.0;
-  int mode_ = 1;
-};
+// FC2580 uses the register program in tuner_programs.inc.
 
 struct TunerRegistrar {
   TunerRegistrar() {
@@ -280,7 +229,7 @@ struct TunerRegistrar {
         {TunerFC0013Program::kAddr, 0x00, 0xa3, &TunerFC0013Program::make,
          "fc0013"});
     tuner_registry().push_back(
-        {TunerFC2580Class::kAddr, 0x01, 0x56, &TunerFC2580Class::make,
+        {TunerFC2580Program::kAddr, 0x01, 0x56, &TunerFC2580Program::make,
          "fc2580"});
   }
 } tuner_registrar;
