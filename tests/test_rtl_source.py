@@ -44,10 +44,15 @@ def test_all_six_tuner_models_probe_and_tune():
         tol = 1000.0 if name != "fc2580" else 0.5
         assert abs(d.freq() - 300e6) < tol, (name, d.freq())
         r = d.gain_range()
-        assert r.stop > r.start
-        assert d.set_gain_mode(True)
-        assert d.gain(0.5 * (r.start + r.stop))
-        assert r.start <= d.gain() <= r.stop
+        if name == "fc2580":
+            # reference fc2580 wrapper has manual gain commented out
+            # (rtl2832-tuner_fc2580.cc set_gain body) — AGC-only, empty range
+            assert r.stop == r.start == 0.0
+        else:
+            assert r.stop > r.start
+            assert d.set_gain_mode(True)
+            assert d.gain(0.5 * (r.start + r.stop))
+            assert r.start <= d.gain() <= r.stop
         d.close()
 
 
