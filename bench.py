@@ -2,11 +2,15 @@
 
 Device-resident methodology: the input block lives on device, the whole
 chain (channelize -> FM demod -> resample -> deemphasis) is one jitted
-program, and states are donated between iterations. Host<->device
-traffic is excluded from the steady-state measurement (the remote PJRT
-tunnel used in this environment adds ~100 ms RTT per transfer, which is
-an attachment artifact, not framework throughput; production ingest is
-the double-buffered host pipeline).
+program, and `reps` consecutive blocks run per launch via lax.scan with
+the carried stream state threaded through (the production streaming
+shape). Each timed trial ends with a forced f32 scalar fetch that
+depends on the final state — through this environment's remote relay,
+block_until_ready alone can ack before device completion, so only a
+value fetch is a trustworthy fence. Host<->device traffic is excluded
+from the steady-state measurement (the remote PJRT tunnel adds ~25 ms
+RTT per transfer, an attachment artifact, not framework throughput;
+production ingest is the double-buffered host pipeline).
 
 Prints one JSON line:
   {"metric": "wbfm_chain_throughput", "value": <Msamp/s/chip>,
@@ -94,35 +98,54 @@ def main():
         states = jax.tree_util.tree_map(jnp.asarray, fg.init_states())
         return states, make_ins()
 
-    jit_step = jax.jit(step, donate_argnums=(0,))
+    # Honest-through-the-tunnel methodology (r3): the remote relay's
+    # block_until_ready can ack BEFORE device completion (measured
+    # "16.7 TB/s HBM" / "35 PFLOP/s matmul" artifacts, physically
+    # impossible on v5e), and per-launch RTT varies 17 us - 17 ms with
+    # relay state. Two fixes: (1) the rep loop runs ON DEVICE via
+    # lax.scan over the chain step — one launch covers `reps` blocks
+    # (also the production-shaped streaming loop); (2) every trial ends
+    # with a forced f32 scalar fetch that depends on the final carried
+    # state, which the relay can only satisfy by executing everything.
+    reps, trials = 512, 5
+
+    def scan_chain(states, params, ins):
+        def body(st, _):
+            st2, outs = step(st, params, ins)
+            return st2, outs["audio"].count
+        states, counts = jax.lax.scan(body, states, None, length=reps)
+        return states, counts
+
+    jit_scan = jax.jit(scan_chain, donate_argnums=(0,))
+    probe = jax.jit(lambda s: jnp.sum(jnp.abs(s["resampler"]["tail"])
+                                      ).astype(jnp.float32))
 
     params = fg.init_params()
     log(f"bench: backend={jax.default_backend()}, compiling init ...")
     states, ins = init_all()
     jax.block_until_ready(states)
-    log("bench: init done, compiling chain step ...")
-    # warmup / compile
+    log("bench: init done, compiling device-loop chain ...")
     t0 = time.time()
-    states, outs = jit_step(states, params, ins)
-    jax.block_until_ready(states)
+    states, counts = jit_scan(states, params, ins)
+    chk = float(np.asarray(probe(states)))
+    assert np.isfinite(chk), "bench produced non-finite state"
     log(f"bench: chain compiled+warm in {time.time() - t0:.1f}s, timing ...")
 
-    # median of N trials with spread: the remote attachment shows
-    # run-to-run variance (±30% observed r2); one number hides it
-    reps, trials = 30, 5
+    # fetch RTT (reported; at reps=512 it is <10% of a trial)
+    t0 = time.time()
+    _ = float(np.asarray(probe(states)))
+    rtt = time.time() - t0
+
     samples = []
     for _ in range(trials):
         t0 = time.time()
-        for _ in range(reps):
-            states, outs = jit_step(states, params, ins)
-        jax.block_until_ready(states)
-        samples.append(reps * block / (time.time() - t0) / 1e6)
+        states, counts = jit_scan(states, params, ins)
+        chk = float(np.asarray(probe(states)))
+        dt = time.time() - t0
+        samples.append(reps * block / dt / 1e6)
+    assert np.isfinite(chk), "bench produced non-finite state"
     samples.sort()
     msps = samples[len(samples) // 2]
-
-    # sanity: audio must be finite and non-degenerate (fetch one scalar)
-    chk = float(np.asarray(jax.jit(lambda s: jnp.sum(jnp.abs(s.data)))(outs["audio"])))
-    assert np.isfinite(chk), "bench produced non-finite audio"
 
     print(json.dumps({
         "metric": "wbfm_chain_throughput",
@@ -132,6 +155,9 @@ def main():
         "median_of": trials,
         "min": round(samples[0], 2),
         "max": round(samples[-1], 2),
+        "blocks_per_launch": reps,
+        "fetch_rtt_ms": round(rtt * 1e3, 1),
+        "forced_fetch": True,
     }))
 
 

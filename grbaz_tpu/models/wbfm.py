@@ -170,13 +170,20 @@ class WBFMConfig:
     rotate_taps: bool = False
     # fused front end: channelizer + squelch + FM discriminator as ONE
     # Pallas kernel (VMEM-resident intermediates) on TPU, the XLA
-    # rotated-taps path elsewhere. False reproduces the r1/r2 chain of
-    # separate blocks.
-    fused: bool = True
+    # rotated-taps path elsewhere. Default False: honest fetch-forced
+    # timing on v5e (r3) measured the banded Pallas kernel at 14.7
+    # ms/block vs 0.82 ms for the XLA polyphase path — the earlier
+    # apparent parity was a remote-relay ack artifact. The kernel stays
+    # available for rework (tests cover it in interpret + real mode).
+    fused: bool = False
     # Mosaic matmul decomposition for the fused kernel: 'high' (3-pass
     # bf16, ~f32 product quality) or 'default' (1-pass bf16, ~54 dB SNR
     # — the RTL dongles' 8-bit ADC floor).
     fused_precision: str = "high"
+    # kernel backend for the fused front-end block: 'auto' (Pallas on
+    # TPU), 'pallas', or 'xla' (rotated-taps polyphase — the fastest
+    # measured path on v5e under honest fetch-forced timing, r3).
+    fused_backend: str = "auto"
 
 
 def build_wbfm(cfg: WBFMConfig):
@@ -197,7 +204,7 @@ def build_wbfm(cfg: WBFMConfig):
             decim, cfg.center_freq, fs,
             quad / (2 * np.pi * cfg.max_deviation),
             squelch_db=cfg.squelch_db, precision=cfg.fused_precision,
-            name="frontend")
+            backend=cfg.fused_backend, name="frontend")
         resamp = FractionalResampler(cfg.block_size // decim,
                                      quad / cfg.audio_rate,
                                      dtype=jnp.float32, name="resampler")

@@ -58,6 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 from grbaz_tpu.ops import exact
 
 LANES = 128
+# Halo block height: Mosaic requires sublane-dim block sizes divisible
+# by 8; the kernel consumes only the first halo row, the rest is padding.
+HALO_ROWS = 8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -103,9 +106,12 @@ def band_matrices(g: jax.Array, decim: int, k_lanes: int) -> tuple:
 
 def _kernel(x_ref, halo_ref, rr_ref, ri_ref, yr_ref, yi_ref, *,
             tile_rows: int, k_lanes: int, row_lanes: int, precision):
-    zfull = jnp.concatenate([x_ref[:], halo_ref[:]], axis=0)  # [TR+1, 2RW]
+    # halo block carries HALO_ROWS rows (Mosaic needs sublane-dim blocks
+    # divisible by 8); only its row 0 — the next tile's first row — is
+    # ever consumed.
+    zfull = jnp.concatenate([x_ref[:], halo_ref[:]], axis=0)  # [TR+H, 2RW]
     # rolled[r] = zfull[r+1]: sublane starts are roll-only on TPU
-    rolled = pltpu.roll(zfull, tile_rows, 0)
+    rolled = pltpu.roll(zfull, zfull.shape[0] - 1, 0)
     extra = k_lanes - row_lanes
     xt = jnp.concatenate([zfull[:tile_rows],
                           rolled[:tile_rows, :extra]], axis=1)  # [TR, K]
@@ -119,12 +125,15 @@ def _kernel(x_ref, halo_ref, rr_ref, ri_ref, yr_ref, yi_ref, *,
     "decim", "tpad", "tile_rows", "precision", "interpret"))
 def _run(zi: jax.Array, rr: jax.Array, ri: jax.Array, *, decim: int,
          tpad: int, tile_rows: int, precision: str, interpret: bool):
-    a_rows = zi.shape[0] - 1
+    a_rows = zi.shape[0] - HALO_ROWS
     row_lanes = zi.shape[1]
     k_lanes = rr.shape[0]
     grid = a_rows // tile_rows
+    # Mosaic's dot lowering accepts DEFAULT and HIGHEST only (HIGH
+    # raises NotImplementedError on real TPU); 'high' therefore maps to
+    # the full f32-quality decomposition.
     prec = dict(default=jax.lax.Precision.DEFAULT,
-                high=jax.lax.Precision.HIGH,
+                high=jax.lax.Precision.HIGHEST,
                 highest=jax.lax.Precision.HIGHEST)[precision]
     kern = functools.partial(_kernel, tile_rows=tile_rows, k_lanes=k_lanes,
                              row_lanes=row_lanes, precision=prec)
@@ -134,7 +143,8 @@ def _run(zi: jax.Array, rr: jax.Array, ri: jax.Array, *, decim: int,
         in_specs=[
             pl.BlockSpec((tile_rows, row_lanes), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_lanes), lambda i: ((i + 1) * tile_rows, 0),
+            pl.BlockSpec((HALO_ROWS, row_lanes),
+                         lambda i: ((i + 1) * (tile_rows // HALO_ROWS), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_lanes, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -192,17 +202,19 @@ def xlating_fir_frame_pallas(frame: jax.Array, h_rev_pad: jax.Array,
     g = rotated_taps(jnp.asarray(h_rev_pad, jnp.float32), lo_inc)
     rr, ri = band_matrices(g, decim, k_lanes)
 
-    # frame -> interleaved row matrix [(A+1), 2*RW] (bitcast + pad + reshape)
-    need = (a_rows + 1) * row_samples
+    # frame -> interleaved row matrix [(A+HALO_ROWS), 2*RW] (bitcast +
+    # pad + reshape). HALO_ROWS trailing zero rows keep the 8-row halo
+    # blocks fully in bounds on every grid step.
+    need = (a_rows + HALO_ROWS) * row_samples
     pad = need - frame.shape[0]
     fc = frame.astype(jnp.complex64)
     if pad > 0:
         fc = jnp.concatenate([fc, jnp.zeros((pad,), jnp.complex64)])
     zi = fc.view(jnp.float32)  # [2*need] interleaved re/im (bitcast view)
-    zi = zi.reshape(a_rows + 1, row_lanes)
+    zi = zi.reshape(a_rows + HALO_ROWS, row_lanes)
 
     tile_rows = min(a_rows, 128)
-    while a_rows % tile_rows:
+    while a_rows % tile_rows or tile_rows % HALO_ROWS:
         tile_rows //= 2
     yr, yi = _run(zi, rr, ri, decim=decim, tpad=tpad, tile_rows=tile_rows,
                   precision=precision, interpret=interpret)
