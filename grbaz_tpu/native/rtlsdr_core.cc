@@ -133,70 +133,6 @@ std::vector<TunerProbe>& tuner_registry() {
 // drivers by tools/extract_tuner_tables.py); the remaining families
 // keep capability-level behavioral models.
 
-// -- E4K-class model: the alternative (osmocom-lineage) E4000 driver -------
-// Same silicon as e4000 (7-bit addr 0x64, id reg 0x02 == 0x40; reference
-// lib/rtl2832-tuner_e4k.cc:59-61) but a different control architecture:
-// a 3-phase PLL with a Z-divider/multiplier table and per-stage gain
-// decomposition (LNA + mixer + IF stages).
-class TunerE4KClass : public Tuner {
- public:
-  explicit TunerE4KClass(Transport* t) : t_(t) {}
-  const char* name() const override { return "e4k"; }
-  int initialise() override {
-    t_->i2c_write(kAddr, 0x00, 0x01);  // master enable
-    t_->i2c_write(kAddr, 0x07, 0x00);
-    gain_db_ = 20.0;
-    return 0;
-  }
-  int set_frequency(double hz) override {
-    // pick the Z multiplier so the VCO lands in its band, then program
-    // integer + 16-bit sigma-delta fraction of fvco / xtal
-    static const int kMult[] = {48, 40, 32, 24, 16, 12, 8, 6, 4, 2};
-    for (int m : kMult) {
-      double vco = hz * m;
-      if (vco < 2.6e9 || vco > 3.9e9) continue;
-      double n = vco / kCrystalHz;
-      uint32_t ni = (uint32_t)n;
-      uint32_t sdm = (uint32_t)((n - ni) * 65536.0 + 0.5);
-      t_->i2c_write(kAddr, 0x09, (uint8_t)ni);
-      t_->i2c_write(kAddr, 0x0A, (uint8_t)(sdm & 0xFF));
-      t_->i2c_write(kAddr, 0x0B, (uint8_t)(sdm >> 8));
-      freq_ = kCrystalHz * (ni + sdm / 65536.0) / m;
-      return 0;
-    }
-    return -1;
-  }
-  double frequency() const override { return freq_; }
-  int set_gain(double db) override {
-    if (mode_ == 0) return -1;
-    GainRange r = gain_range();
-    if (db < r.start) db = r.start;
-    if (db > r.stop) db = r.stop;
-    // decompose: LNA in 2.5 dB steps up to 30, remainder to IF stages
-    int lna = (int)(std::min(db, 30.0) / 2.5);
-    double rem = db - lna * 2.5;
-    int ifg = (int)(rem / 1.0);
-    t_->i2c_write(kAddr, 0x14, (uint8_t)lna);
-    t_->i2c_write(kAddr, 0x16, (uint8_t)ifg);
-    gain_db_ = lna * 2.5 + ifg * 1.0;
-    return 0;
-  }
-  double gain() const override { return gain_db_; }
-  GainRange gain_range() const override { return {-10.0, 49.0, 0.5}; }
-  int set_gain_mode(int mode) override {
-    mode_ = mode;
-    t_->i2c_write(kAddr, 0x1A, mode ? 0x00 : 0x07);
-    return 0;
-  }
-  static Tuner* make(Transport* t) { return new TunerE4KClass(t); }
-  static constexpr uint8_t kAddr = 0x64;  // 0xc8 >> 1
-
- private:
-  Transport* t_;
-  double freq_ = 0.0, gain_db_ = 0.0;
-  int mode_ = 1;
-};
-
 #include "tuner_programs.inc"
 
 // helper: snap a request to the nearest entry of a discrete gain table
@@ -221,7 +157,8 @@ struct TunerRegistrar {
         {TunerR820TProgram::kAddr, 0x00, 0x69, &TunerR820TProgram::make,
          "r820t"});
     tuner_registry().push_back(
-        {TunerE4KClass::kAddr, 0x02, 0x40, &TunerE4KClass::make, "e4k"});
+        {TunerE4KProgram::kAddr, 0x02, 0x40, &TunerE4KProgram::make,
+         "e4k"});
     tuner_registry().push_back(
         {TunerFC0012Program::kAddr, 0x00, 0xa1, &TunerFC0012Program::make,
          "fc0012"});

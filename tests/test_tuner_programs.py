@@ -301,3 +301,114 @@ def test_fc0013_band_switch_and_gain():
         assert g and (g[-1] & 0x1F) == 0x11
     finally:
         d.close()
+
+
+# -- E4K (osmocom-lineage) program ------------------------------------------
+
+def _e4k_pll_model(flo_hz, fosc=28800000):
+    """Independent model of e4k_compute_pll_params (reference
+    rtl2832-tuner_e4k.cc:1175): R-divider table walk, Fvco window,
+    Z/X split."""
+    three_ph = 1 if flo_hz < 300e6 else 0
+    for i, r0 in enumerate([4, 8, 12, 16, 24, 32, 40, 48]):
+        r = r0 if three_ph else r0 // 2
+        fvco = int(flo_hz) * r
+        if not (2.6e9 <= fvco <= 3.9e9):
+            continue
+        z = fvco // fosc
+        if z > 255:
+            continue
+        x = ((fvco - fosc * z) * 65536) // fosc
+        flo_act = (fosc * z + (fosc * x) // 65536) // r
+        return i, three_ph, z, x, flo_act
+    raise AssertionError("no PLL solution")
+
+
+@pytest.fixture()
+def e4k():
+    d = RTLSource(transport="sim", tuner="e4k", rate=2.048e6)
+    yield d
+    d.close()
+
+
+def test_e4k_init_register_trace(e4k):
+    log = e4k.i2c_log()
+    # reset + clock config (e4k_init:1557-1567)
+    assert log[0] == (0x00, 0x07)          # MASTER1 RESET|NORM_STBY|POR_DET
+    assert log[1] == (0x05, 0x00) and log[2] == (0x06, 0x00)
+    assert log[3] == (0x7A, 0x96)          # CLKOUT_PWDN
+    # magic_init values (:1526-1536)
+    assert log[4:12] == [(0x7E, 1), (0x7F, 0xFE), (0x82, 0), (0x86, 0x50),
+                         (0x87, 0x20), (0x88, 1), (0x9F, 0x7F), (0xA0, 7)]
+    assert (0x2F, 4) in log                # common mode 850 mV
+    # DC offset LUT generation wrote all 8 table registers
+    regs = {r for r, _ in log}
+    for lut in (0x50, 0x51, 0x52, 0x53, 0x60, 0x61, 0x62, 0x63):
+        assert lut in regs, hex(lut)
+    # AGC thresholds + narrowest IF filters (MIX idx15<<4 | RC idx15,
+    # CHAN idx31 then bandwidth 8 MHz -> idx 0)
+    assert (0x1D, 0x10) in log and (0x1E, 0x04) in log and (0x1F, 0x1A) in log
+    f2 = [v for r, v in log if r == 0x11]
+    assert f2[-1] == 0xFF
+    f3 = [v for r, v in log if r == 0x12]
+    assert f3[0] == 0x1F and f3[-1] == 0x00
+    # moderate IF gain programming left GAIN3 = stages (1,1,1,1) fields
+    g3 = [v for r, v in log if r == 0x16]
+    assert g3[-1] == 0x2B and g3[-2] == 0x4B
+    g4 = [v for r, v in log if r == 0x17]
+    assert g4[-1] == 0x12
+
+
+@pytest.mark.parametrize("rf_mhz", [70.0, 100.0, 300.0, 600.0, 1400.0])
+def test_e4k_pll_registers_across_bands(e4k, rf_mhz):
+    flo = rf_mhz * 1e6
+    e4k.i2c_log(clear=True)
+    assert e4k.freq(flo)
+    writes = dict(e4k.i2c_log())
+    r_idx, three_ph, z, x, flo_act = _e4k_pll_model(flo)
+    assert writes[0x0D] == (r_idx & 7) | (three_ph << 3), "SYNTH7 R/phase"
+    assert writes[0x09] == z, "SYNTH3 Z"
+    assert writes[0x0A] == x & 0xFF and writes[0x0B] == x >> 8, "SYNTH4/5 X"
+    # band select: BIAS 3 except L band 0 (e4k_band_set:1116)
+    assert writes[0x78] == (0 if flo_act >= 1135e6 else 3)
+    assert e4k.freq() == pytest.approx(flo_act, abs=1.0)
+    # PLL resolution bound
+    assert abs(e4k.actual_lo() - flo) < 28.8e6 / 65536 + 1
+
+
+def test_e4k_band_field_and_rf_filter(e4k):
+    # 600 MHz: UHF band -> SYNTH1 field 2<<1, RF filter idx 9 (615 MHz
+    # nearest center in rf_filt_center_uhf, :807)
+    e4k.i2c_log(clear=True)
+    e4k.freq(600e6)
+    writes = dict(e4k.i2c_log())
+    assert writes[0x07] & 0x06 == 0x04
+    assert writes[0x10] & 0x0F == 9
+    # 1400 MHz: L band -> field 3<<1, filter idx 3 (1410 MHz nearest)
+    e4k.i2c_log(clear=True)
+    e4k.freq(1400e6)
+    writes = dict(e4k.i2c_log())
+    assert writes[0x07] & 0x06 == 0x06
+    assert writes[0x10] & 0x0F == 3
+    assert writes[0x78] == 0  # L-band BIAS
+
+
+def test_e4k_gain_map_floor_snap(e4k):
+    e4k.set_gain_mode(True)
+    # exact entry: 12.5 dB -> LNA field 9 (map e4k.cc:201)
+    e4k.i2c_log(clear=True)
+    assert e4k.gain(12.5)
+    g = [v for r, v in e4k.i2c_log() if r == 0x14]
+    assert g and (g[-1] & 0x0F) == 9
+    assert e4k.gain() == pytest.approx(12.5)
+    # floor snap: 0.3 dB -> 0.0 dB entry (field 4), get_map_index
+    # semantics (rtl2832.cc:66)
+    e4k.i2c_log(clear=True)
+    assert e4k.gain(0.3)
+    g = [v for r, v in e4k.i2c_log() if r == 0x14]
+    assert g and (g[-1] & 0x0F) == 4
+    assert e4k.gain() == pytest.approx(0.0)
+    # below the table -> FAILURE, no write (wrapper returns FAILURE)
+    e4k.i2c_log(clear=True)
+    assert not e4k.gain(-6.0)
+    assert not [v for r, v in e4k.i2c_log() if r == 0x14]
