@@ -109,16 +109,27 @@ def main():
     # state, which the relay can only satisfy by executing everything.
     reps, trials = 512, 5
 
+    # The AUDIO OUTPUT checksum rides the scan carry and feeds the
+    # fence: with a state-only carry, XLA can dead-code-eliminate real
+    # work (the channelizer's carried tail is an input slice; scalar
+    # IIR states can be sliced through the recurrence) — measured r4:
+    # a state-only fence let the channelizer drop from 818 us to 57 us
+    # of elided work. Summing every block's audio into the carried
+    # scalar forces the full chain.
     def scan_chain(states, params, ins):
-        def body(st, _):
+        def body(c, _):
+            st, acc = c
             st2, outs = step(st, params, ins)
-            return st2, outs["audio"].count
-        states, counts = jax.lax.scan(body, states, None, length=reps)
-        return states, counts
+            a = outs["audio"].data
+            return (st2, acc + jnp.sum(a.astype(jnp.float32))), ()
+        (states, acc), _ = jax.lax.scan(body, (states, jnp.float32(0)),
+                                        None, length=reps)
+        return states, acc
 
     jit_scan = jax.jit(scan_chain, donate_argnums=(0,))
-    probe = jax.jit(lambda s: jnp.sum(jnp.abs(s["resampler"]["tail"])
-                                      ).astype(jnp.float32))
+    probe = jax.jit(lambda s, acc: (acc
+                                    + jnp.sum(jnp.abs(s["resampler"]["tail"]))
+                                    ).astype(jnp.float32))
 
     params = fg.init_params()
     log(f"bench: backend={jax.default_backend()}, compiling init ...")
@@ -126,21 +137,21 @@ def main():
     jax.block_until_ready(states)
     log("bench: init done, compiling device-loop chain ...")
     t0 = time.time()
-    states, counts = jit_scan(states, params, ins)
-    chk = float(np.asarray(probe(states)))
+    states, acc = jit_scan(states, params, ins)
+    chk = float(np.asarray(probe(states, acc)))
     assert np.isfinite(chk), "bench produced non-finite state"
     log(f"bench: chain compiled+warm in {time.time() - t0:.1f}s, timing ...")
 
     # fetch RTT (reported; at reps=512 it is <10% of a trial)
     t0 = time.time()
-    _ = float(np.asarray(probe(states)))
+    _ = float(np.asarray(probe(states, acc)))
     rtt = time.time() - t0
 
     samples = []
     for _ in range(trials):
         t0 = time.time()
-        states, counts = jit_scan(states, params, ins)
-        chk = float(np.asarray(probe(states)))
+        states, acc = jit_scan(states, params, ins)
+        chk = float(np.asarray(probe(states, acc)))
         dt = time.time() - t0
         samples.append(reps * block / dt / 1e6)
     assert np.isfinite(chk), "bench produced non-finite state"

@@ -30,7 +30,7 @@ from grbaz_tpu.ops.fir import (FreqXlatingFIRDecimator, low_pass_taps,
                                prepare_taps)
 from grbaz_tpu.ops.resampler import FractionalResampler
 
-from grbaz_tpu.ops.agc import _affine_combine
+from grbaz_tpu.ops.iir import onepole_scan, state_at_count
 
 
 class WBFMFrontend(Block):
@@ -127,15 +127,20 @@ class WBFMFrontend(Block):
         if self.squelch_db is not None:
             p = yf.real * yf.real + yf.imag * yf.imag
             n_q = p.shape[0]
-            valid = jnp.arange(n_q, dtype=jnp.int32) < x.count // self.decim
-            a = jnp.where(valid, 1.0 - params["sq_alpha"], 1.0
-                          ).astype(jnp.float32)
-            b = jnp.where(valid, p * params["sq_alpha"], 0.0)
-            A, B = jax.lax.associative_scan(_affine_combine, (a, b))
-            avg = A * state["sq_avg"] + B
+            count_q = x.count // self.decim
+            valid = jnp.arange(n_q, dtype=jnp.int32) < count_q
+            # constant-pole recurrence as triangular matmuls (ops.iir):
+            # causality keeps the valid prefix exact; tail overwritten
+            # with the last valid average (old masked-scan semantics)
+            avg_raw = onepole_scan(p.astype(jnp.float32)
+                                   * params["sq_alpha"],
+                                   1.0 - params["sq_alpha"],
+                                   state["sq_avg"])
+            avg_last = state_at_count(avg_raw, count_q, state["sq_avg"])
+            avg = jnp.where(valid, avg_raw, avg_last)
             yf = jnp.where(avg >= params["sq_threshold"], yf,
                            jnp.zeros((), yf.dtype))
-            new_state["sq_avg"] = avg[-1]
+            new_state["sq_avg"] = avg_last
         d, last_yf = wf.demod_unrotated(yf, state["prev_yf"], params["gain"],
                                         lo_inc, self.decim)
         n_out_count = x.count // self.decim
@@ -176,9 +181,11 @@ class WBFMConfig:
     # apparent parity was a remote-relay ack artifact. The kernel stays
     # available for rework (tests cover it in interpret + real mode).
     fused: bool = False
-    # Mosaic matmul decomposition for the fused kernel: 'high' (3-pass
-    # bf16, ~f32 product quality) or 'default' (1-pass bf16, ~54 dB SNR
-    # — the RTL dongles' 8-bit ADC floor).
+    # Mosaic matmul decomposition for the fused kernel: 'high' now
+    # aliases lax.Precision.HIGHEST on the Pallas path (full f32-quality
+    # ~6-pass decomposition — Mosaic's dot lowering rejects HIGH) or
+    # 'default' (1-pass bf16, ~54 dB SNR — the RTL dongles' 8-bit ADC
+    # floor).
     fused_precision: str = "high"
     # kernel backend for the fused front-end block: 'auto' (Pallas on
     # TPU), 'pallas', or 'xla' (rotated-taps polyphase — the fastest

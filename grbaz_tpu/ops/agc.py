@@ -26,6 +26,7 @@ import numpy as np
 
 from grbaz_tpu.core.block import Block
 from grbaz_tpu.core.stream import Stream
+from grbaz_tpu.ops.iir import onepole_scan, state_at_count
 
 
 def _affine_combine(p, q):
@@ -39,26 +40,33 @@ def agc_block(x: jax.Array, env0: jax.Array, started: jax.Array,
               rate: jax.Array, reference: jax.Array, valid_mask=None):
     """Run the AGC over one block.
 
-    Returns (y, env[N], gain[N], env_last, started').
-    ``valid_mask`` (bool [N]) makes masked samples identity ops so partial
-    blocks don't pollute the envelope state.
+    Returns (y, env[N], gain[N], env_last, started'). ``valid_mask``
+    (bool [N], a contiguous valid prefix) keeps masked samples from
+    polluting the envelope state.
+
+    Constant-pole formulation (ops.iir): the recurrence runs unmasked as
+    triangular matmuls — causality keeps the valid prefix exact — and
+    the invalid tail is overwritten with the last valid envelope
+    (identical to the old masked scan's identity-op semantics). The
+    first-sample-ever case (env := mag directly, reference _count==0
+    path at baz_agc_cc.cc:64-100) folds into the constant-pole form by
+    zeroing the incoming state and overriding b[0] with mag[0].
     """
     mag = jnp.abs(x).astype(jnp.float32)
-    n = x.shape[0]
-    a = jnp.full((n,), 1.0 - rate, jnp.float32)
     b = mag * rate
-    # First sample ever: env := mag directly (reference _count==0 path).
-    a = a.at[0].set(jnp.where(started, a[0], 0.0))
     b = b.at[0].set(jnp.where(started, b[0], mag[0]))
+    y0 = jnp.where(started, env0, jnp.float32(0.0))
+    env_raw = onepole_scan(b, 1.0 - rate, y0)
     if valid_mask is not None:
-        a = jnp.where(valid_mask, a, 1.0)
-        b = jnp.where(valid_mask, b, 0.0)
-    A, B = jax.lax.associative_scan(_affine_combine, (a, b))
-    env = A * env0 + B
+        count = jnp.sum(valid_mask.astype(jnp.int32))
+        env_last = state_at_count(env_raw, count, env0)
+        env = jnp.where(valid_mask, env_raw, env_last)
+        any_valid = jnp.any(valid_mask)
+    else:
+        env, env_last, any_valid = env_raw, env_raw[-1], jnp.bool_(True)
     gain = reference / env
     y = (x * gain.astype(x.dtype)) if not jnp.iscomplexobj(x) else x * gain
-    any_valid = jnp.any(valid_mask) if valid_mask is not None else jnp.bool_(True)
-    return y, env, gain, env[-1], jnp.logical_or(started, any_valid)
+    return y, env, gain, env_last, jnp.logical_or(started, any_valid)
 
 
 class AGC(Block):

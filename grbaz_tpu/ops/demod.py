@@ -20,7 +20,7 @@ import numpy as np
 
 from grbaz_tpu.core.block import Block
 from grbaz_tpu.core.stream import Stream
-from grbaz_tpu.ops.agc import _affine_combine
+from grbaz_tpu.ops.iir import onepole_scan, state_at_count
 
 
 # ---------------------------------------------------------------------------
@@ -84,18 +84,19 @@ class PowerSquelch(Block):
     def apply(self, state, params, x: Stream):
         p = (x.data.real * x.data.real + x.data.imag * x.data.imag) \
             if jnp.iscomplexobj(x.data) else x.data * x.data
-        n = p.shape[0]
         alpha = params["alpha"]
-        # Invalid tail samples (past x.count) are identity ops so they
-        # don't decay the carried average across partial blocks.
-        valid = x.valid_mask()
-        a = jnp.where(valid, 1.0 - alpha, 1.0).astype(jnp.float32)
-        b = jnp.where(valid, p.astype(jnp.float32) * alpha, 0.0)
-        A, B = jax.lax.associative_scan(_affine_combine, (a, b))
-        avg = A * state["avg"] + B
+        # Constant-pole recurrence as triangular matmuls (ops.iir); the
+        # stream's validity is a contiguous prefix, so the carried state
+        # is the value at count-1 and the invalid tail is overwritten
+        # with it (the identity-op semantics of the old per-sample
+        # masked scan, without the masking).
+        avg_raw = onepole_scan(p.astype(jnp.float32) * alpha,
+                               1.0 - alpha, state["avg"])
+        avg_last = state_at_count(avg_raw, x.count, state["avg"])
+        avg = jnp.where(x.valid_mask(), avg_raw, avg_last)
         gate = avg >= params["threshold"]
         y = jnp.where(gate, x.data, jnp.zeros((), x.data.dtype))
-        return dict(avg=avg[-1]), (x.like(y, count=x.count),)
+        return dict(avg=avg_last), (x.like(y, count=x.count),)
 
 
 # ---------------------------------------------------------------------------
@@ -129,21 +130,18 @@ class FMDeemphasis(Block):
         x_sh = jnp.concatenate([jnp.asarray(state["x_prev"],
                                             jnp.float32)[None], xd[:-1]])
         ff = self.b[0] * xd + self.b[1] * x_sh
-        n = xd.shape[0]
-        # Identity ops past x.count: a partial block (e.g. the masked tail
-        # a fractional resampler always produces) must not decay y_prev —
-        # the IIR state carries to the next block as if the stream were
-        # contiguous (the reference's per-sample loop only ever sees
-        # valid samples).
-        valid = x.valid_mask()
-        a = jnp.where(valid, self.a, 1.0).astype(jnp.float32)
-        ff = jnp.where(valid, ff, 0.0)
-        A, B = jax.lax.associative_scan(_affine_combine, (a, ff))
-        y = A * state["y_prev"] + B
-        idx = jnp.clip(x.count - 1, 0, n - 1)
+        # Constant-pole recurrence as triangular matmuls (ops.iir). The
+        # stream's validity is a contiguous prefix and the recurrence is
+        # causal, so the valid prefix of y is exact regardless of the
+        # garbage drive past x.count; the carried state is y at count-1
+        # and the invalid tail is overwritten with it (matching the old
+        # masked scan's identity-op semantics).
+        y_raw = onepole_scan(ff, self.a, state["y_prev"])
+        y_last = state_at_count(y_raw, x.count, state["y_prev"])
+        y = jnp.where(x.valid_mask(), y_raw, y_last)
         new_state = dict(
-            y_prev=jnp.where(x.count > 0, y[idx], state["y_prev"]),
-            x_prev=jnp.where(x.count > 0, xd[idx], state["x_prev"]))
+            y_prev=y_last,
+            x_prev=state_at_count(xd, x.count, state["x_prev"]))
         return new_state, (x.like(y, count=x.count),)
 
 
@@ -174,10 +172,11 @@ class AMDemod(Block):
 
     def apply(self, state, params, x: Stream):
         env = jnp.abs(x.data).astype(jnp.float32)
-        valid = x.valid_mask()
-        a = jnp.where(valid, 1.0 - params["alpha"], 1.0).astype(jnp.float32)
-        b = jnp.where(valid, params["alpha"] * env, 0.0)
-        A, B = jax.lax.associative_scan(_affine_combine, (a, b))
-        dc = A * state["dc"] + B
+        # Constant-pole recurrence as triangular matmuls (ops.iir);
+        # count-prefix validity handled by causality + tail overwrite.
+        dc_raw = onepole_scan(params["alpha"] * env, 1.0 - params["alpha"],
+                              state["dc"])
+        dc_last = state_at_count(dc_raw, x.count, state["dc"])
+        dc = jnp.where(x.valid_mask(), dc_raw, dc_last)
         y = (env - dc) * params["gain"]
-        return dict(dc=dc[-1]), (x.like(y, count=x.count),)
+        return dict(dc=dc_last), (x.like(y, count=x.count),)

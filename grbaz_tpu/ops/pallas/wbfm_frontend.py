@@ -6,10 +6,12 @@ full 3.2 MHz RTL stream; per-sample loop lib/baz_rtl_source_c.cc feeding
 GR's fir_filter). The XLA polyphase path in :mod:`grbaz_tpu.ops.fir`
 is numerically exact but materializes its ``[n_out, 2*n_phases]``
 partial-product matrix to HBM (~84 MB round trip per 1M-sample block on
-the WBFM shape) — measured chain time matches that HBM traffic almost
-exactly. This kernel keeps every intermediate in VMEM.
+the WBFM shape — ~10x the useful traffic). This kernel keeps the
+partial products in VMEM: HBM sees the input once and the decimated
+output once.
 
-Formulation (TPU-first, not a translation):
+Formulation (TPU-first; v2 — the r3 "banded" kernel widened K ~15x and
+measured 18x slower than XLA, so it was replaced by this design):
 
 * LO folded into the taps (the rotated-taps identity of
   ``ops.fir.xlating_fir_decimate_frame``): complex taps
@@ -19,35 +21,39 @@ Formulation (TPU-first, not a translation):
   FM discriminator's constant phase offset (WBFM chain; see
   :func:`grbaz_tpu.models.wbfm` fused path). No full-rate sin/cos.
 
-* Banded matmul over INTERLEAVED re/im lanes: the complex64 frame is
-  bitcast to f32 pairs, reshaped ``[A+1, 2*RW]`` (RW samples per row) —
-  both free layout ops. Output row a, column b (output k = a*128 + b)
-  contracts lanes ``j = 2*(decim*b + t) + parity`` of the row pair
-  ``(a, a+1)`` against banded tap matrices
+* Polyphase partial products as ONE interleaved matmul. The complex64
+  frame bitcasts to f32 pairs and reshapes to the polyphase row matrix
+  ``Z[j, 2p+parity]`` (row j = samples j*D..j*D+D-1 as re,im pairs — a
+  free layout op). Against the interleaved tap matrix
 
-      Rr[2*(decim*b+t), b]   =  re g[t]     Rr[odd j] = -im g[t]
-      Ri[2*(decim*b+t), b]   =  im g[t]     Ri[odd j] =  re g[t]
+      T[2p,   2m] =  re g[mD+p]     T[2p,   2m+1] =  im g[mD+p]
+      T[2p+1, 2m] = -im g[mD+p]     T[2p+1, 2m+1] =  re g[mD+p]
 
-  so ``yr = X @ Rr`` and ``yi = X @ Ri`` are two MXU matmuls per tile
-  with zero shuffling. The band costs ~7x MAC inflation but runs dense
-  on the MXU — still ~30x fewer effective cycles than the K=8 polyphase
-  contraction, and (the real win) zero HBM intermediates.
+  ``Q = Z @ T`` gives ``Q[j, 2m] = Re partial_m(j)``,
+  ``Q[j, 2m+1] = Im partial_m(j)`` where
+  ``partial_m(j) = sum_p g[mD+p] x[jD+p]``, and the output is the band
+  sum ``y[k] = sum_m partial_m(k+m)``.
 
-* Grid steps walk output row-tiles sequentially; the next-row halo is
-  the same array through a second (1, 2*RW) BlockSpec. Tap matrices use
-  constant index maps, so Pallas's pipeliner keeps them VMEM-resident
-  across steps (no per-step re-DMA).
+* Band sum in VMEM via masked log-rolls: column pair m must shift up by
+  m rows. For each bit b of m, roll the whole Q tile up by b and select
+  the rolled value on lanes whose m has bit b set (a lane-iota mask) —
+  5 full-lane-width rolls+selects instead of n_phases lane-starved
+  column slices. A final tiny matmul against the 0/1 selection matrix
+  ``S[2m+s, s] = 1`` sums the bands into ``y[k] = (re, im)``.
+
+* Grid walks row tiles; the next tile's first HALO rows are the same
+  array through a second BlockSpec, so partials never leave VMEM.
 
 Precision: ``precision`` selects the Mosaic matmul decomposition —
-``'high'`` (3-pass bf16, ~f32-quality products, the default) or
-``'default'`` (1-pass bf16, ~54 dB SNR, matches the 8-bit-ADC source
-dynamic range of the RTL dongles the reference serves).
+``'high'`` aliases lax.Precision.HIGHEST (full f32-quality passes —
+Mosaic's dot lowering rejects HIGH) or ``'default'`` (1-pass bf16,
+~54 dB SNR, matching the 8-bit-ADC dynamic range of the RTL dongles the
+reference serves).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -57,14 +63,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grbaz_tpu.ops import exact
 
-LANES = 128
-# Halo block height: Mosaic requires sublane-dim block sizes divisible
-# by 8; the kernel consumes only the first halo row, the rest is padding.
-HALO_ROWS = 8
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+# Halo rows appended to each tile: covers the band sum's maximum
+# up-shift (n_phases-1 <= 31) and keeps tile boundaries multiple-of-8.
+HALO = 32
 
 
 def rotated_taps(h_rev_pad: jax.Array, lo_inc: jax.Array) -> jax.Array:
@@ -81,53 +82,56 @@ def rotated_taps(h_rev_pad: jax.Array, lo_inc: jax.Array) -> jax.Array:
                                                            jnp.sin(ang))
 
 
-def band_matrices(g: jax.Array, decim: int, k_lanes: int) -> tuple:
-    """Banded interleaved tap matrices (Rr, Ri), each [k_lanes, 128].
-
-    Rr[2*(decim*b+t)    , b] =  g.real[t]
-    Rr[2*(decim*b+t) + 1, b] = -g.imag[t]
-    Ri[2*(decim*b+t)    , b] =  g.imag[t]
-    Ri[2*(decim*b+t) + 1, b] =  g.real[t]
-    """
+def interleaved_tap_matrix(g: jax.Array, decim: int,
+                           n_phases_pad: int) -> jax.Array:
+    """[2*decim, 2*n_phases_pad] interleaved polyphase tap matrix T."""
     tpad = g.shape[0]
-    jj = jnp.arange(k_lanes, dtype=jnp.int32)[:, None]
-    bb = jnp.arange(LANES, dtype=jnp.int32)[None, :]
-    u = jj // 2
-    parity = jj % 2
-    t = u - decim * bb
-    valid = (t >= 0) & (t < tpad)
+    gr = g.real.astype(jnp.float32)
+    gi = g.imag.astype(jnp.float32)
+    rows = jnp.arange(2 * decim, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(2 * n_phases_pad, dtype=jnp.int32)[None, :]
+    p = rows // 2
+    in_par = rows % 2
+    m = cols // 2
+    out_par = cols % 2
+    t = m * decim + p
+    valid = t < tpad
     tc = jnp.clip(t, 0, tpad - 1)
-    gr = g.real.astype(jnp.float32)[tc]
-    gi = g.imag.astype(jnp.float32)[tc]
-    rr = jnp.where(valid, jnp.where(parity == 0, gr, -gi), 0.0)
-    ri = jnp.where(valid, jnp.where(parity == 0, gi, gr), 0.0)
-    return rr, ri
+    re_t, im_t = gr[tc], gi[tc]
+    # (in_par, out_par): (0,0)=re, (1,0)=-im, (0,1)=im, (1,1)=re
+    v = jnp.where(out_par == 0,
+                  jnp.where(in_par == 0, re_t, -im_t),
+                  jnp.where(in_par == 0, im_t, re_t))
+    return jnp.where(valid, v, 0.0)
 
 
-def _kernel(x_ref, halo_ref, rr_ref, ri_ref, yr_ref, yi_ref, *,
-            tile_rows: int, k_lanes: int, row_lanes: int, precision):
-    # halo block carries HALO_ROWS rows (Mosaic needs sublane-dim blocks
-    # divisible by 8); only its row 0 — the next tile's first row — is
-    # ever consumed.
-    zfull = jnp.concatenate([x_ref[:], halo_ref[:]], axis=0)  # [TR+H, 2RW]
-    # rolled[r] = zfull[r+1]: sublane starts are roll-only on TPU
-    rolled = pltpu.roll(zfull, zfull.shape[0] - 1, 0)
-    extra = k_lanes - row_lanes
-    xt = jnp.concatenate([zfull[:tile_rows],
-                          rolled[:tile_rows, :extra]], axis=1)  # [TR, K]
-    yr_ref[:] = jnp.dot(xt, rr_ref[:], precision=precision,
-                        preferred_element_type=jnp.float32)
-    yi_ref[:] = jnp.dot(xt, ri_ref[:], precision=precision,
-                        preferred_element_type=jnp.float32)
+def _kernel(z_ref, halo_ref, t_ref, s_ref, y_ref, *, tile_rows: int,
+            n_phases_pad: int, precision):
+    z = jnp.concatenate([z_ref[:], halo_ref[:]], axis=0)  # [TR+HALO, 2D]
+    q = jnp.dot(z, t_ref[:], precision=precision,
+                preferred_element_type=jnp.float32)  # [TR+HALO, 2Mp]
+    # band alignment: column pair m shifts up by m rows, done as masked
+    # log-rolls (shift-by-b on the whole tile, select on lanes with bit
+    # b of m set). No wraparound contamination: the largest total shift
+    # is n_phases_pad-1 < HALO and only rows [0, TR) are read out.
+    n_rows = q.shape[0]
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) // 2
+    b = 1
+    while b < n_phases_pad:
+        rolled = pltpu.roll(q, n_rows - b, 0)  # rolled[r] = q[r+b]
+        q = jnp.where((lane_m & b) != 0, rolled, q)
+        b <<= 1
+    y_ref[:] = jnp.dot(q[:tile_rows], s_ref[:], precision=precision,
+                       preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "decim", "tpad", "tile_rows", "precision", "interpret"))
-def _run(zi: jax.Array, rr: jax.Array, ri: jax.Array, *, decim: int,
-         tpad: int, tile_rows: int, precision: str, interpret: bool):
-    a_rows = zi.shape[0] - HALO_ROWS
-    row_lanes = zi.shape[1]
-    k_lanes = rr.shape[0]
+    "tile_rows", "n_phases_pad", "precision", "interpret"))
+def _run(zi: jax.Array, t_mat: jax.Array, s_mat: jax.Array, *,
+         tile_rows: int, n_phases_pad: int, precision: str,
+         interpret: bool):
+    a_rows = zi.shape[0] - HALO
+    two_d = zi.shape[1]
     grid = a_rows // tile_rows
     # Mosaic's dot lowering accepts DEFAULT and HIGHEST only (HIGH
     # raises NotImplementedError on real TPU); 'high' therefore maps to
@@ -135,43 +139,47 @@ def _run(zi: jax.Array, rr: jax.Array, ri: jax.Array, *, decim: int,
     prec = dict(default=jax.lax.Precision.DEFAULT,
                 high=jax.lax.Precision.HIGHEST,
                 highest=jax.lax.Precision.HIGHEST)[precision]
-    kern = functools.partial(_kernel, tile_rows=tile_rows, k_lanes=k_lanes,
-                             row_lanes=row_lanes, precision=prec)
-    yr, yi = pl.pallas_call(
+    kern = functools.partial(_kernel, tile_rows=tile_rows,
+                             n_phases_pad=n_phases_pad, precision=prec)
+    y = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile_rows, row_lanes), lambda i: (i, 0),
+            pl.BlockSpec((tile_rows, two_d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALO_ROWS, row_lanes),
-                         lambda i: ((i + 1) * (tile_rows // HALO_ROWS), 0),
+            pl.BlockSpec((HALO, two_d),
+                         lambda i: ((i + 1) * (tile_rows // HALO), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_lanes, LANES), lambda i: (0, 0),
+            pl.BlockSpec(t_mat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_lanes, LANES), lambda i: (0, 0),
+            pl.BlockSpec(s_mat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((a_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((a_rows, LANES), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((tile_rows, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a_rows, 2), jnp.float32),
         interpret=interpret,
-    )(zi, zi, rr, ri)
-    return yr, yi
+    )(zi, zi, t_mat, s_mat)
+    return y
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def supported(n_new: int, decim: int) -> bool:
     """True if the fused kernel handles this (block size, decim) shape."""
-    if n_new % decim:
+    if decim < 2 or 2 * decim > 128 or n_new % decim:
         return False
     n_out = n_new // decim
-    return n_out % LANES == 0 and (n_out // LANES) % 8 == 0
+    return n_out % (8 * HALO) == 0
+
+
+def _pick_tile_rows(n_out: int) -> int:
+    tr = min(n_out, 4096)
+    while n_out % tr or tr % HALO:
+        tr //= 2
+    return max(tr, HALO)
 
 
 def xlating_fir_frame_pallas(frame: jax.Array, h_rev_pad: jax.Array,
@@ -193,32 +201,34 @@ def xlating_fir_frame_pallas(frame: jax.Array, h_rev_pad: jax.Array,
     n_new = frame.shape[0] - (tpad - 1)
     assert supported(n_new, decim), "unsupported shape for fused kernel"
     n_out = n_new // decim
-    a_rows = n_out // LANES
-    row_samples = decim * LANES
-    row_lanes = 2 * row_samples
-    k_lanes = _round_up(2 * (decim * (LANES - 1) + tpad), LANES)
-    assert k_lanes <= 2 * row_lanes, "tap span exceeds one halo row"
+    n_phases = tpad // decim
+    n_phases_pad = _round_up(n_phases, 4)
+    assert n_phases_pad <= HALO, "tap span exceeds the halo budget"
 
     g = rotated_taps(jnp.asarray(h_rev_pad, jnp.float32), lo_inc)
-    rr, ri = band_matrices(g, decim, k_lanes)
+    t_mat = interleaved_tap_matrix(g, decim, n_phases_pad)
+    # selection matrix: sum band columns into (re, im)
+    cols = np.arange(2 * n_phases_pad)
+    s_np = np.zeros((2 * n_phases_pad, 2), np.float32)
+    s_np[cols, cols % 2] = 1.0
+    s_mat = jnp.asarray(s_np)
 
-    # frame -> interleaved row matrix [(A+HALO_ROWS), 2*RW] (bitcast +
-    # pad + reshape). HALO_ROWS trailing zero rows keep the 8-row halo
-    # blocks fully in bounds on every grid step.
-    need = (a_rows + HALO_ROWS) * row_samples
+    # frame -> interleaved polyphase rows [(n_out + HALO), 2*decim]
+    # (bitcast + pad + reshape, all layout-free). The band sum reads
+    # rows up to n_out-1 + n_phases-1; rows beyond the frame are zero.
+    need = (n_out + HALO) * decim
     pad = need - frame.shape[0]
     fc = frame.astype(jnp.complex64)
     if pad > 0:
         fc = jnp.concatenate([fc, jnp.zeros((pad,), jnp.complex64)])
-    zi = fc.view(jnp.float32)  # [2*need] interleaved re/im (bitcast view)
-    zi = zi.reshape(a_rows + HALO_ROWS, row_lanes)
+    zi = fc.view(jnp.float32).reshape(n_out + HALO, 2 * decim)
 
-    tile_rows = min(a_rows, 128)
-    while a_rows % tile_rows or tile_rows % HALO_ROWS:
-        tile_rows //= 2
-    yr, yi = _run(zi, rr, ri, decim=decim, tpad=tpad, tile_rows=tile_rows,
-                  precision=precision, interpret=interpret)
-    return jax.lax.complex(yr.reshape(-1), yi.reshape(-1))
+    tile_rows = _pick_tile_rows(n_out)
+    y = _run(zi, t_mat, s_mat, tile_rows=tile_rows,
+             n_phases_pad=n_phases_pad, precision=precision,
+             interpret=interpret)
+    # [n_out, 2] f32 (re, im) -> complex64 via the interleaved bitcast
+    return y[:n_out].reshape(-1).view(jnp.complex64)
 
 
 def rotate_output(yf: jax.Array, phase0: jax.Array, lo_inc: jax.Array,

@@ -264,13 +264,13 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
         y = lax.complex(buf[0, :nq], buf[1, :nq])
         if squelch_thr is not None:
             # power squelch before the discriminator (serial chain
-            # order: channel -> squelch -> demod, models/wbfm.py)
-            from grbaz_tpu.ops.agc import _affine_combine
+            # order: channel -> squelch -> demod, models/wbfm.py); same
+            # triangular-matmul recurrence as ops.demod.PowerSquelch so
+            # pipeline output bit-matches the serial chain
+            from grbaz_tpu.ops.iir import onepole_scan
             p = (y.real * y.real + y.imag * y.imag).astype(jnp.float32)
-            a = jnp.full((nq,), 1.0 - squelch_alpha, jnp.float32)
-            A, B = lax.associative_scan(_affine_combine,
-                                        (a, p * squelch_alpha))
-            avg = A * state["sq_avg"] + B
+            avg = onepole_scan(p * squelch_alpha, 1.0 - squelch_alpha,
+                               state["sq_avg"])
             y = jnp.where(avg >= squelch_thr, y, jnp.zeros((), y.dtype))
             new_sq = avg[-1]
         shifted = jnp.concatenate([state["prev"][None], y[:-1]])
@@ -301,15 +301,14 @@ def build_wbfm_pipeline(cfg, mesh: Mesh, stage_axis: str = "stage",
         valid = jnp.arange(cap, dtype=jnp.int32) < n_out
         x_sh = jnp.concatenate([state["x_prev"][None], xd[:-1]])
         ff = de_b0 * xd + de_b1 * x_sh
-        a = jnp.where(valid, de_a, 1.0).astype(jnp.float32)
-        ff = jnp.where(valid, ff, 0.0)
-        from grbaz_tpu.ops.agc import _affine_combine
-        A, B = lax.associative_scan(_affine_combine, (a, ff))
-        yv = A * state["y_prev"] + B
-        idx = jnp.clip(n_out - 1, 0, cap - 1)
+        # same triangular-matmul recurrence as ops.demod.FMDeemphasis
+        # (bit-match with the serial chain); causality keeps the valid
+        # prefix exact despite the unmasked garbage drive
+        from grbaz_tpu.ops.iir import onepole_scan, state_at_count
+        yv = onepole_scan(ff, de_a, state["y_prev"])
         st = dict(
-            y_prev=jnp.where(n_out > 0, yv[idx], state["y_prev"]),
-            x_prev=jnp.where(n_out > 0, xd[idx], state["x_prev"]))
+            y_prev=state_at_count(yv, n_out, state["y_prev"]),
+            x_prev=state_at_count(xd, n_out, state["x_prev"]))
         out = jnp.zeros(buf_shape, jnp.float32)
         out = out.at[0, :cap].set(jnp.where(valid, yv, 0.0))
         out = out.at[1, N - 1].set(n_out.astype(jnp.float32))

@@ -1,0 +1,167 @@
+"""Round-4 honest per-stage timing: scan + forced fetch, ONE stage per
+process (second-program collapse). argv[1] selects the stage.
+
+Methodology (verify SKILL.md): rep loop on device via lax.scan, forced
+f32 value fetch as the fence, measured fetch RTT subtracted.
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+import numpy as np
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from grbaz_tpu.core.stream import Stream, StreamMeta
+
+stage = sys.argv[1]
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+block = 1 << 20
+fs = 3.2e6
+quad_n = block // 8
+quad_fs = fs / 8
+RATIO = quad_fs / 48e3
+
+
+def tone(n, f, sr):
+    t = jnp.arange(n, dtype=jnp.float32)
+    return jnp.exp(1j * (2 * jnp.pi * f / sr) * t).astype(jnp.complex64)
+
+
+def ftone(n, f, sr):
+    t = jnp.arange(n, dtype=jnp.float32)
+    return jnp.sin((2 * jnp.pi * f / sr) * t)
+
+
+blk = None
+per_block_samples = block  # for Msamp/s normalization (chain-equivalent)
+
+def _osum(y):
+    """f32 checksum of an output array (forces its computation)."""
+    if jnp.iscomplexobj(y):
+        return jnp.sum(y.real) + jnp.sum(y.imag)
+    return jnp.sum(y.astype(jnp.float32))
+
+
+if stage == "chain":
+    from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
+    cfg = WBFMConfig(block_size=block)
+    fg, _ = build_wbfm(cfg)
+    step = fg.build_step()
+    mk = lambda: {"iq": Stream(data=tone(block, 10e3, fs),
+                               count=jnp.int32(block),
+                               meta=StreamMeta.start(fs))}
+    def apply_fn(st, pr, xs):
+        st2, outs = step(st, pr, xs)
+        return st2, _osum(outs["audio"].data)
+    init_state = lambda: fg.init_states()
+    init_params = lambda: fg.init_params()
+elif stage in ("chan_rtf0", "chan_rtf1"):
+    from grbaz_tpu.ops.fir import FreqXlatingFIRDecimator, low_pass_taps
+    taps = low_pass_taps(1.0, fs, 112.5e3, 75e3)
+    blk = FreqXlatingFIRDecimator(taps, 8, 0.0, fs,
+                                  rotate_taps=(stage == "chan_rtf1"))
+    mk = lambda: Stream(data=tone(block, 10e3, fs), count=jnp.int32(block),
+                        meta=StreamMeta.start(fs))
+elif stage == "osc":
+    from grbaz_tpu.ops import exact
+    mk = lambda: Stream(data=tone(block, 10e3, fs), count=jnp.int32(block),
+                        meta=StreamMeta.start(fs))
+    def apply_fn(st, pr, xs):
+        lo, ph = exact.oscillator(block, st["phase"], pr["inc"])
+        y = xs.data * lo
+        return dict(phase=ph, last=y[-1]), _osum(y)
+    init_state = lambda: dict(phase=np.uint32(0),
+                              last=np.complex64(0))
+    init_params = lambda: dict(inc=np.uint32(123456789))
+elif stage == "demod":
+    from grbaz_tpu.ops.demod import QuadratureDemod
+    blk = QuadratureDemod(1.0)
+    mk = lambda: Stream(data=tone(quad_n, 10e3, quad_fs),
+                        count=jnp.int32(quad_n),
+                        meta=StreamMeta.start(quad_fs))
+elif stage in ("resamp", "resamp_tight"):
+    from grbaz_tpu.ops.resampler import FractionalResampler
+    min_ratio = RATIO * (0.96 if stage == "resamp_tight" else 0.5)
+    blk = FractionalResampler(quad_n, RATIO, dtype=jnp.float32,
+                              min_ratio=min_ratio)
+    print(f"# resamp capacity={blk.capacity}", file=sys.stderr, flush=True)
+    mk = lambda: Stream(data=ftone(quad_n, 1e3, quad_fs),
+                        count=jnp.int32(quad_n),
+                        meta=StreamMeta.start(quad_fs))
+elif stage in ("deemph", "deemph16k"):
+    from grbaz_tpu.ops.demod import FMDeemphasis
+    n = 31459 if stage == "deemph" else 16384
+    blk = FMDeemphasis(48e3, 75e-6)
+    cnt = 15728 if stage == "deemph" else 16384
+    mk = lambda: Stream(data=ftone(n, 1e3, 48e3), count=jnp.int32(cnt),
+                        meta=StreamMeta.start(48e3))
+else:
+    raise SystemExit(f"unknown stage {stage}")
+
+if blk is not None:
+    def apply_fn(st, pr, xs):
+        st2, outs = blk.apply(st, pr, xs)
+        return st2, _osum(outs[0].data)
+    init_state = lambda: blk.init_state()
+    init_params = lambda: blk.init_params()
+
+
+@jax.jit
+def init_all():
+    st = jax.tree_util.tree_map(jnp.asarray, init_state())
+    return st, mk()
+
+
+def scan_stage(st, pr, xs):
+    """The OUTPUT checksum rides the carry: every stage's full output
+    feeds the fence, so XLA cannot dead-code-eliminate the kernel work
+    (a state-only carry lets it — the channelizer's carried tail is an
+    input slice, and scalar states can be sliced through)."""
+    def body(c, _):
+        s, acc = c
+        s2, osum = apply_fn(s, pr, xs)
+        return (s2, acc + osum.astype(jnp.float32)), ()
+    (st2, acc), _ = jax.lax.scan(body, (st, jnp.float32(0)), None,
+                                 length=REPS)
+    return st2, acc
+
+
+def mkprobe(s):
+    st, acc = s
+    acc = acc + jnp.float32(0)
+    for l in jax.tree_util.tree_leaves(st):
+        if hasattr(l, "dtype"):
+            acc = acc + jnp.sum(jnp.abs(l).astype(jnp.float32))
+    return acc
+
+
+js = jax.jit(scan_stage, donate_argnums=(0,))
+probe = jax.jit(mkprobe)
+
+t0 = time.time()
+st, xs = init_all()
+pr = jax.tree_util.tree_map(jnp.asarray, init_params())
+st, acc = js(st, pr, xs)
+chk = float(np.asarray(probe((st, acc))))
+print(f"# {stage}: compile+warm {time.time()-t0:.1f}s chk={chk:.3g}",
+      file=sys.stderr, flush=True)
+
+# fetch RTT
+rtts = []
+for _ in range(3):
+    t0 = time.time()
+    _ = float(np.asarray(probe((st, acc))))
+    rtts.append(time.time() - t0)
+rtt = sorted(rtts)[1]
+
+res = []
+for _ in range(5):
+    t0 = time.time()
+    st, acc = js(st, pr, xs)
+    chk = float(np.asarray(probe((st, acc))))
+    dt = time.time() - t0
+    res.append((dt - rtt) / REPS * 1e6)
+res.sort()
+us = res[len(res) // 2]
+print(f"{stage}: {us:.1f} us/block (min {res[0]:.1f} max {res[-1]:.1f}, "
+      f"reps={REPS}, rtt={rtt*1e3:.1f}ms) -> {per_block_samples/us:.0f} "
+      f"Msamp/s-equiv", flush=True)

@@ -17,7 +17,7 @@ from grbaz_tpu.models.wbfm import WBFMConfig, WBFMFrontend, build_wbfm
 from grbaz_tpu.ops.fir import (low_pass_taps, prepare_taps,
                                xlating_fir_decimate_frame)
 from grbaz_tpu.ops.pallas.wbfm_frontend import (
-    band_matrices, demod_unrotated, rotate_output, rotated_taps,
+    demod_unrotated, interleaved_tap_matrix, rotate_output, rotated_taps,
     supported, xlating_fir_frame_pallas)
 
 FS = 3.2e6
@@ -50,25 +50,34 @@ def test_kernel_matches_xla_rotated_taps(rng):
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-4 * max(scale, 1e-3)
 
 
-def test_band_matrices_structure():
-    """Rr/Ri encode g into the interleaved band exactly."""
+def test_interleaved_tap_matrix_structure():
+    """T encodes g into the interleaved polyphase layout exactly:
+    Q = Z @ T must give partial_m(j) = sum_p g[mD+p] x[jD+p]."""
+    decim, n_phases_pad = 4, 8
     g = jnp.asarray(np.arange(1, 33, dtype=np.float32)
                     + 1j * np.arange(101, 133, dtype=np.float32))
-    k_lanes = 2 * (4 * 127 + 32) + (128 - (2 * (4 * 127 + 32)) % 128) % 128
-    rr, ri = band_matrices(g, 4, k_lanes)
-    rr = np.asarray(rr)
-    ri = np.asarray(ri)
-    for b in (0, 3, 127):
-        for t in (0, 7, 31):
-            j = 2 * (4 * b + t)
-            if j + 1 >= k_lanes:
-                continue
-            assert rr[j, b] == float(g[t].real)
-            assert rr[j + 1, b] == -float(g[t].imag)
-            assert ri[j, b] == float(g[t].imag)
-            assert ri[j + 1, b] == float(g[t].real)
-    # off-band zero
-    assert rr[2 * (4 * 5 + 33), 5] == 0.0
+    t_mat = np.asarray(interleaved_tap_matrix(g, decim, n_phases_pad))
+    assert t_mat.shape == (2 * decim, 2 * n_phases_pad)
+    for m in range(n_phases_pad):
+        for p in range(decim):
+            t = m * decim + p
+            gr = float(g[t].real) if t < 32 else 0.0
+            gi = float(g[t].imag) if t < 32 else 0.0
+            assert t_mat[2 * p, 2 * m] == gr        # re*re
+            assert t_mat[2 * p + 1, 2 * m] == -gi   # -im*im
+            assert t_mat[2 * p, 2 * m + 1] == gi    # re*im
+            assert t_mat[2 * p + 1, 2 * m + 1] == gr  # im*re
+    # one full check: complex partial via the real matmul
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(decim)
+         + 1j * rng.standard_normal(decim)).astype(np.complex64)
+    z = np.empty(2 * decim, np.float32)
+    z[0::2], z[1::2] = x.real, x.imag
+    q = z @ t_mat
+    for m in range(8):
+        want = np.sum(np.asarray(g[m * decim:(m + 1) * decim]) * x)
+        assert abs(q[2 * m] - want.real) < 1e-3
+        assert abs(q[2 * m + 1] - want.imag) < 1e-3
 
 
 def test_demod_unrotated_matches_rotated_demod(rng):
