@@ -91,13 +91,32 @@ def _time_steps(jax, step, states, params, ins, reps=256, trials=3):
                     acc = acc + jnp.sum(o.astype(jnp.float32))
         return acc
 
+    import dataclasses as _dc
+
+    def _poison(a, z):
+        # a + 0*z: bit-identical but formally iteration-dependent, so
+        # XLA can neither hoist input-dependent work out of the loop
+        # (LICM) nor fold it away (float NaN semantics forbid 0*x -> 0)
+        if hasattr(a, "dtype") and (jnp.iscomplexobj(a)
+                                    or jnp.issubdtype(a.dtype,
+                                                      jnp.floating)):
+            return a + z.astype(a.dtype)
+        return a
+
     def scan_fn(s):
         def body(c, _):
-            st, acc = c
-            st2, outs = step(st, params, ins)
-            return (st2, acc + _outs_sum(outs)), ()
-        return jax.lax.scan(body, (s, jnp.float32(0)), None,
-                            length=reps)[0]
+            st, xd, acc = c
+            cur = ins if xd is None else \
+                {k: _dc.replace(v, data=xd[k]) for k, v in ins.items()}
+            st2, outs = step(st, params, cur)
+            osum = _outs_sum(outs)
+            xd2 = None if xd is None else \
+                {k: _poison(v, osum) for k, v in xd.items()}
+            return (st2, xd2, acc + osum), ()
+        xd0 = None if ins is None else {k: v.data for k, v in ins.items()}
+        out = jax.lax.scan(body, (s, xd0, jnp.float32(0)), None,
+                           length=reps)[0]
+        return (out[0], out[2])
 
     js = jax.jit(scan_fn, donate_argnums=(0,))
     probe = jax.jit(lambda sa: sa[1] + _state_probe(jax, jnp, sa[0]))
@@ -304,6 +323,90 @@ def bench_bank():
                 unit="Mchansamp/s")
 
 
+def bench_decoders():
+    """Throughput of the per-sample lax.scan decoder FSMs.
+
+    SURVEY §7 "Hard parts #1": sequential scans are the known TPU
+    throughput risk. This measures each decoder honestly (scan of
+    `reps` blocks with the output checksum riding the carry + forced
+    fetch) and reports Msamp/s of decoder input — compare against the
+    rates these blocks actually face (bit/pulse rates: ACARS 2.4 kbit/s
+    air interface, FasTrak ~500 kbit/s, radar pulse video ~Msamp/s).
+    """
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from grbaz_tpu.core.stream import Stream, StreamMeta
+    from grbaz_tpu.ops.burst import Gate
+    from grbaz_tpu.ops.decode import (ACARSDecoder, DPLLBitSync,
+                                      ManchesterDecode)
+    from grbaz_tpu.ops.detect import PeakDetector, RadarDetector
+
+    n = 1 << 14
+    rng = np.random.default_rng(0)
+    bits = (rng.random(n) < 0.5).astype(np.uint8)
+    pulses = (np.arange(n) % 16 == 0).astype(np.uint8)
+    metrics = np.where(bits > 0, -1.0, 1.0).astype(np.float32)
+    power = (0.1 + (np.arange(n) % 100 == 0) * 2.0).astype(np.float32)
+    sig = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+           ).astype(np.complex64)
+
+    cases = [
+        ("manchester", ManchesterDecode(), [bits]),
+        ("dpll", DPLLBitSync(16.0), [pulses]),
+        ("acars", ACARSDecoder(), [metrics]),
+        ("peak_detector", PeakDetector(min_diff=0.1, look_ahead=0),
+         [power]),
+        ("radar_detector", RadarDetector(base_level=0.1, threshold_db=10.0),
+         [power]),
+        ("gate", Gate(threshold=0.5, trigger_length=32), [sig, power]),
+    ]
+    which = os.environ.get("GRBAZ_DECODER", "")
+    batch = int(os.environ.get("GRBAZ_DECODER_BATCH", "64"))
+    results = []
+    for name, blk, inputs in cases:
+        if which and name != which:
+            continue
+        meta = StreamMeta.start(1e6)
+        ins = [Stream(jnp.asarray(a), jnp.int32(n), meta) for a in inputs]
+        params = blk.init_params()
+
+        def step(states, _params, _ins, blk=blk, ins=ins):
+            st, outs = blk.apply(states, _params, *ins)
+            return st, {str(i): o for i, o in enumerate(outs)}
+
+        states = jax.tree_util.tree_map(jnp.asarray, blk.init_state())
+        dt = _time_steps(jax, step, states, params, None, reps=16)
+        results.append(dict(metric=f"decoder_{name}",
+                            value=round(n / dt / 1e6, 3), unit="Msamp/s",
+                            us_per_block=round(dt * 1e6, 1), block=n))
+
+        # The TPU-native scaling story for per-sample FSMs: the scan's
+        # per-step latency amortizes across a CHANNEL axis — one vmapped
+        # scan decodes `batch` independent streams in near-constant
+        # time (the multi_channel_decoder deployment shape, SURVEY
+        # §2.4). Reported value is aggregate samples/s over the bank.
+        def bstep(states, _params, _ins, blk=blk, ins=ins):
+            def one(st, *xs):
+                st2, outs = blk.apply(st, params, *xs)
+                return st2, {str(i): o for i, o in enumerate(outs)}
+            bins = [jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (batch,) + a.shape), s)
+                for s in ins]
+            return jax.vmap(one)(states, *bins)
+
+        bstates = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a),
+                                       (batch,) + np.shape(a)).copy(),
+            blk.init_state())
+        dtb = _time_steps(jax, bstep, bstates, params, None, reps=16)
+        results.append(dict(metric=f"decoder_{name}_x{batch}",
+                            value=round(batch * n / dtb / 1e6, 3),
+                            unit="Msamp/s",
+                            us_per_block=round(dtb * 1e6, 1), block=n,
+                            channels=batch))
+    return results
+
+
 # v5e single-chip peaks for the roofline report (public spec: 197
 # TFLOP/s bf16 MXU peak, 819 GB/s HBM BW; f32-accurate 3-pass matmuls
 # run at ~1/3 of the bf16 peak)
@@ -434,7 +537,7 @@ def bench_scaling_one(n_dev: int):
     state, outs = bank.step(state, params, x)
     jax.block_until_ready(state)
     best = 1e9
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         s = state
         for _ in range(10):
@@ -448,7 +551,17 @@ def bench_scaling_one(n_dev: int):
 
 
 def bench_scaling():
-    """Supervise one child per mesh size; print the efficiency table."""
+    """Supervise one child per mesh size; print the efficiency table.
+
+    Metric caveat (important on the default CPU backend): the N
+    "devices" of a forced-host-platform mesh SHARE one set of CPU
+    cores, so aggregate throughput cannot grow with N — the honest
+    scaling proxy there is ``retention`` = aggregate(N) / aggregate(1),
+    which measures the overhead the sharding/collective machinery adds
+    at N-way partition (1.0 = the mesh schedule is free). Per-device
+    ``efficiency`` = value/(base*N) is only meaningful on real chips
+    (set GRBAZ_SCALING_PLATFORM to run there).
+    """
     results = []
     for n in (1, 2, 4, 8):
         env = dict(os.environ,
@@ -467,9 +580,15 @@ def bench_scaling():
             results.append(json.loads(line))
     if results:
         base = results[0]["value"]
+        shared = os.environ.get("GRBAZ_SCALING_PLATFORM", "cpu") == "cpu"
         for r in results:
             n = r["devices"]
+            r["retention"] = round(r["value"] / base, 3)
             r["efficiency"] = round(r["value"] / (base * n), 3)
+            if shared:
+                r["note"] = ("shared-core CPU mesh: retention is the "
+                             "schedule-overhead proxy; efficiency needs "
+                             "real chips")
     return results
 
 
@@ -557,6 +676,10 @@ def main():
         r = bench_ingest()
         r["value"] = round(float(r["value"]), 2)
         print(json.dumps(r), flush=True)
+        return 0
+    if which == "decoders":
+        for r in bench_decoders():
+            print(json.dumps(r), flush=True)
         return 0
     if which != "all":
         r = CONFIGS[which]()

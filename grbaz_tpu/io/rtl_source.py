@@ -67,7 +67,50 @@ def _load():
     lib.rtl_i2c_log_clear.argtypes = [c.c_void_p]
     lib.rtl_actual_lo.restype = c.c_double
     lib.rtl_actual_lo.argtypes = [c.c_void_p]
+    # demod register-fidelity surface: device table, product identity,
+    # GPIO, and the control-transfer wire log
+    lib.rtl_open_sim_dev.restype = c.c_void_p
+    lib.rtl_open_sim_dev.argtypes = [c.c_uint16, c.c_uint16, c.c_double,
+                                     c.c_double, c.c_double, c.c_uint64,
+                                     c.c_int]
+    lib.rtl_product_name.restype = c.c_char_p
+    lib.rtl_product_name.argtypes = [c.c_void_p]
+    lib.rtl_device_table_count.restype = c.c_int
+    lib.rtl_device_table_get.restype = c.c_int
+    lib.rtl_device_table_get.argtypes = [c.c_int, c.POINTER(c.c_char_p),
+                                         c.POINTER(c.c_uint16),
+                                         c.POINTER(c.c_uint16),
+                                         c.POINTER(c.c_char_p)]
+    lib.rtl_set_gpio_output.restype = c.c_int
+    lib.rtl_set_gpio_output.argtypes = [c.c_void_p, c.c_uint8]
+    lib.rtl_set_gpio_bit.restype = c.c_int
+    lib.rtl_set_gpio_bit.argtypes = [c.c_void_p, c.c_uint8, c.c_int]
+    lib.rtl_wire_log_count.restype = c.c_int
+    lib.rtl_wire_log_count.argtypes = [c.c_void_p]
+    lib.rtl_wire_log_get.restype = c.c_int
+    lib.rtl_wire_log_get.argtypes = [c.c_void_p, c.c_int,
+                                     c.POINTER(c.c_uint8),
+                                     c.POINTER(c.c_uint16),
+                                     c.POINTER(c.c_uint16),
+                                     c.POINTER(c.c_uint8),
+                                     c.POINTER(c.c_uint8),
+                                     c.POINTER(c.c_uint8)]
+    lib.rtl_wire_log_clear.argtypes = [c.c_void_p]
     return lib
+
+
+def wire_log(lib, handle):
+    """Read the control-transfer wire log as a list of
+    (out, wValue, wIndex, len, d0, d1) tuples."""
+    c = ctypes
+    out = []
+    o, v, i = c.c_uint8(), c.c_uint16(), c.c_uint16()
+    ln, d0, d1 = c.c_uint8(), c.c_uint8(), c.c_uint8()
+    for k in range(lib.rtl_wire_log_count(handle)):
+        lib.rtl_wire_log_get(handle, k, c.byref(o), c.byref(v), c.byref(i),
+                             c.byref(ln), c.byref(d0), c.byref(d1))
+        out.append((o.value, v.value, i.value, ln.value, d0.value, d1.value))
+    return out
 
 
 TUNER_IDS = {"e4000": 0, "r820t": 1, "e4k": 2, "fc0012": 3,
@@ -80,13 +123,21 @@ class RTLSource(Device):
     def __init__(self, transport: str = "sim", path: str = "",
                  tuner: str = "r820t", tone_offset: float = 25e3,
                  amplitude: float = 0.6, noise: float = 0.02,
-                 rate: float = 2.048e6, seed: int = 1):
+                 rate: float = 2.048e6, seed: int = 1,
+                 vid: int = 0, pid: int = 0):
         super().__init__()
         self._lib = _load()
-        tid = TUNER_IDS[tuner]
+        tid = TUNER_IDS[tuner] if tuner else -1
         if transport == "sim":
-            self._h = self._lib.rtl_open_sim(tone_offset, amplitude, noise,
-                                             seed, tid)
+            if vid or pid:
+                # USB-identity open: the device table supplies the
+                # product name + tuner hint (reference find_device,
+                # lib/rtl2832.cc:353-416)
+                self._h = self._lib.rtl_open_sim_dev(
+                    vid, pid, tone_offset, amplitude, noise, seed, tid)
+            else:
+                self._h = self._lib.rtl_open_sim(tone_offset, amplitude,
+                                                 noise, seed, tid)
         elif transport == "file":
             self._h = self._lib.rtl_open_file(path.encode(), tid)
         else:
@@ -96,6 +147,10 @@ class RTLSource(Device):
         self._lib.rtl_set_sample_rate(self._hh, rate)
         self._rate = self._lib.rtl_get_sample_rate(self._hh)
 
+    def product_name(self) -> str:
+        """USB product identity from the VID/PID device table."""
+        return self._lib.rtl_product_name(self._hh).decode()
+
     @property
     def _hh(self):
         if not self._h:
@@ -104,6 +159,11 @@ class RTLSource(Device):
 
     # -- Device interface -----------------------------------------------------
     def name(self) -> str:
+        # "Found RTL2832 device: %s (tuner: %s)" identity shape
+        # (lib/rtl2832.cc:548); product resolves from the VID/PID table
+        prod = self.product_name()
+        if prod and not prod.startswith("("):
+            return "%s (%s)" % (prod, self.tuner_name())
         return "RTL2832 (%s)" % self.tuner_name()
 
     def serial(self) -> str:

@@ -53,41 +53,132 @@ constexpr uint32_t kMaxRate = 3200000;
 
 // ---------------------------------------------------------------------------
 // register/I2C bus + transport
+//
+// The wire protocol is the RTL2832U's USB control-transfer scheme,
+// byte-for-byte (/root/reference/lib/rtl2832.cc:563-700):
+//   system regs:  wValue = addr,             wIndex = (block<<8) | (wr?0x10:0)
+//   demod regs:   wValue = (addr<<8) | 0x20, wIndex = (wr?0x10:0) | page
+//   i2c:          block IICB (6), wValue = i2c device address,
+//                 data = [reg] / [reg, val]
+// with block ids DEMODB=0 USBB=1 SYSB=2 TUNB=3 ROMB=4 IRB=5 IICB=6
+// (lib/rtl2832.h:405-412). Every transfer is recorded in a wire log so
+// tests assert the exact init/rate/IF programs (register fidelity).
 // ---------------------------------------------------------------------------
+enum Block : uint8_t {
+  DEMODB = 0, USBB = 1, SYSB = 2, TUNB = 3, ROMB = 4, IRB = 5, IICB = 6
+};
+
+// USB / SYS block register addresses (lib/rtl2832.h:380-403)
+enum UsbReg : uint16_t {
+  USB_SYSCTL = 0x2000, USB_CTRL = 0x2010, USB_STAT = 0x2014,
+  USB_EPA_CFG = 0x2144, USB_EPA_CTL = 0x2148, USB_EPA_MAXPKT = 0x2158,
+  USB_EPA_MAXPKT_2 = 0x215a, USB_EPA_FIFO_CFG = 0x2160,
+};
+enum SysReg : uint16_t {
+  DEMOD_CTL = 0x3000, GPO = 0x3001, GPI = 0x3002, GPOE = 0x3003,
+  GPD = 0x3004, SYSINTE = 0x3005, SYSINTS = 0x3006, GP_CFG0 = 0x3007,
+  GP_CFG1 = 0x3008, DEMOD_CTL_1 = 0x300b, IR_SUSPEND = 0x300c,
+};
+
+struct CtrlOp {
+  uint8_t out;       // 1 = host->device (write), 0 = read
+  uint16_t value;    // wValue
+  uint16_t index;    // wIndex
+  uint8_t len;       // data length (1-2)
+  uint8_t d0, d1;    // data bytes as they cross the wire
+};
+
 class Transport {
  public:
   virtual ~Transport() = default;
-  virtual int read_reg(uint16_t addr, uint32_t* value) = 0;
-  virtual int write_reg(uint16_t addr, uint32_t value) = 0;
-  virtual int i2c_read(uint8_t dev, uint8_t reg, uint8_t* value) = 0;
-  // Non-virtual logging shim: every tuner I2C register write is
-  // recorded (reg, value) so tests can assert the exact register
-  // programs a driver emits (the register-fidelity contract).
+  // the single wire primitive; data layout is the caller's (big-endian
+  // register values per the reference's write_reg/demod_write_reg)
+  int ctrl_out(uint16_t value, uint16_t index, const uint8_t* data,
+               uint8_t len) {
+    wire_log_.push_back({1, value, index, len, data[0],
+                         (uint8_t)(len > 1 ? data[1] : 0)});
+    return ctrl_impl(true, value, index, const_cast<uint8_t*>(data), len);
+  }
+  int ctrl_in(uint16_t value, uint16_t index, uint8_t* data, uint8_t len) {
+    int r = ctrl_impl(false, value, index, data, len);
+    wire_log_.push_back({0, value, index, len, data[0],
+                         (uint8_t)(len > 1 ? data[1] : 0)});
+    return r;
+  }
+
+  // Decode the control transfer exactly as the silicon does
+  // (lib/rtl2832.cc:563-700): demod-page accesses have wIndex high
+  // byte 0 and wValue low byte 0x20; everything else addresses a block
+  // register; block IICB is the tuner I2C bus.
+  int ctrl_impl(bool out, uint16_t value, uint16_t index, uint8_t* data,
+                uint8_t len) {
+    uint8_t block = (uint8_t)(index >> 8);
+    if (block == IICB) {
+      uint8_t dev = (uint8_t)(value & 0xff);
+      if (out && len == 2) return i2c_write_impl(dev, data[0], data[1]);
+      if (out && len == 1) {  // register-pointer setup for a read
+        i2c_ptr_[dev] = data[0];
+        return 0;
+      }
+      return i2c_read_impl(dev, i2c_ptr_[dev], &data[0]);
+    }
+    uint32_t key;
+    if (block == 0 && (value & 0xff) == 0x20) {
+      // demod page register: page in wIndex low nibble, addr in wValue
+      // high byte
+      key = 0x10000000u | ((uint32_t)(index & 0x0f) << 16)
+          | (uint16_t)(value >> 8);
+    } else {
+      key = ((uint32_t)block << 16) | value;
+    }
+    if (out) {
+      // big-endian data layout per the reference's write_reg
+      uint16_t v = (len == 1) ? data[0]
+                              : (uint16_t)((data[0] << 8) | data[1]);
+      // multi-byte writes land on consecutive addresses conceptually;
+      // the model stores the full value at the base address
+      regs_[key] = v;
+      return 0;
+    }
+    auto it = regs_.find(key);
+    uint16_t v = it == regs_.end() ? 0 : it->second;
+    if (len == 1) {
+      data[0] = (uint8_t)(v & 0xff);
+    } else {
+      data[0] = (uint8_t)(v & 0xff);
+      data[1] = (uint8_t)(v >> 8);
+    }
+    return 0;
+  }
+
+  // tuner-facing I2C (routed over the IICB block, with the tuner
+  // register-program log the tuner trace tests assert against)
   int i2c_write(uint8_t dev, uint8_t reg, uint8_t value) {
-    int r = i2c_write_impl(dev, reg, value);
+    uint8_t data[2] = {reg, value};
+    int r = ctrl_out(dev, (uint16_t)((IICB << 8) | 0x10), data, 2);
     if (r == 0) i2c_log_.push_back({reg, value});
     return r;
   }
+  int i2c_read(uint8_t dev, uint8_t reg, uint8_t* value) {
+    uint8_t data[1] = {reg};
+    int r = ctrl_out(dev, (uint16_t)((IICB << 8) | 0x10), data, 1);
+    if (r != 0) return r;
+    return ctrl_in(dev, (uint16_t)(IICB << 8), value, 1);
+  }
+  // transports model the tuner bus behind these two
+  virtual int i2c_read_impl(uint8_t dev, uint8_t reg, uint8_t* value) = 0;
   virtual int i2c_write_impl(uint8_t dev, uint8_t reg, uint8_t value) = 0;
+
   // bulk IQ: fills buf with interleaved u8 IQ; returns bytes
   virtual int bulk_read(uint8_t* buf, int len) = 0;
   virtual void configure(double rate, double tuner_lo, double ppm) = 0;
 
   std::vector<std::pair<uint8_t, uint8_t>> i2c_log_;
-};
+  std::vector<CtrlOp> wire_log_;
 
-// RAII I2C repeater scope (the demod gates tuner I2C behind a repeater
-// enable bit — lib/rtl2832.h:259-275's concept)
-class I2CRepeaterScope {
- public:
-  I2CRepeaterScope(Transport* t, uint16_t reg) : t_(t), reg_(reg) {
-    t_->write_reg(reg_, 1);
-  }
-  ~I2CRepeaterScope() { t_->write_reg(reg_, 0); }
-
- private:
-  Transport* t_;
-  uint16_t reg_;
+ protected:
+  std::map<uint32_t, uint16_t> regs_;       // block/page register model
+  std::map<uint8_t, uint8_t> i2c_ptr_;      // per-device register pointer
 };
 
 // ---------------------------------------------------------------------------
@@ -150,24 +241,28 @@ static double snap_gain(const double* table, int n, double db, int* idx) {
 
 struct TunerRegistrar {
   TunerRegistrar() {
-    tuner_registry().push_back(
-        {TunerE4000Program::kAddr, 0x02, 0x40, &TunerE4000Program::make,
-         "e4000"});
-    tuner_registry().push_back(
-        {TunerR820TProgram::kAddr, 0x00, 0x69, &TunerR820TProgram::make,
-         "r820t"});
+    // probe order matches the reference's ADD_TUNER table
+    // (/root/reference/lib/rtl2832.cc:185-190): e4k first — shared
+    // E4000 silicon gets the alternative e4k driver by default, per
+    // the reference's "Swapped this around with e4000" comment.
     tuner_registry().push_back(
         {TunerE4KProgram::kAddr, 0x02, 0x40, &TunerE4KProgram::make,
          "e4k"});
-    tuner_registry().push_back(
-        {TunerFC0012Program::kAddr, 0x00, 0xa1, &TunerFC0012Program::make,
-         "fc0012"});
     tuner_registry().push_back(
         {TunerFC0013Program::kAddr, 0x00, 0xa3, &TunerFC0013Program::make,
          "fc0013"});
     tuner_registry().push_back(
         {TunerFC2580Program::kAddr, 0x01, 0x56, &TunerFC2580Program::make,
          "fc2580"});
+    tuner_registry().push_back(
+        {TunerR820TProgram::kAddr, 0x00, 0x69, &TunerR820TProgram::make,
+         "r820t"});
+    tuner_registry().push_back(
+        {TunerFC0012Program::kAddr, 0x00, 0xa1, &TunerFC0012Program::make,
+         "fc0012"});
+    tuner_registry().push_back(
+        {TunerE4000Program::kAddr, 0x02, 0x40, &TunerE4000Program::make,
+         "e4000"});
   }
 } tuner_registrar;
 
@@ -189,16 +284,7 @@ class SimTransport : public Transport {
                         double amplitude, double noise, uint64_t seed)
       : sel_(sel), tuner_addr_(sel.i2c_addr), tone_offset_(tone_offset),
         amplitude_(amplitude), noise_(noise), rng_(seed) {}
-  int read_reg(uint16_t addr, uint32_t* v) override {
-    auto it = regs_.find(addr);
-    *v = it == regs_.end() ? 0 : it->second;
-    return 0;
-  }
-  int write_reg(uint16_t addr, uint32_t v) override {
-    regs_[addr] = v;
-    return 0;
-  }
-  int i2c_read(uint8_t dev, uint8_t reg, uint8_t* v) override {
+  int i2c_read_impl(uint8_t dev, uint8_t reg, uint8_t* v) override {
     if (dev != tuner_addr_) return -1;  // probe miss: NAK
     if (reg == sel_.id_reg) {  // identification register
       *v = sel_.id_value;
@@ -238,7 +324,6 @@ class SimTransport : public Transport {
   uint8_t tuner_addr_;
   double tone_offset_, amplitude_, noise_;
   double rate_ = 2.048e6, lo_ = 0.0, phase_ = 0.0;
-  std::map<uint16_t, uint32_t> regs_;
   std::map<uint8_t, uint8_t> i2c_;
   std::mt19937 rng_;
 };
@@ -253,9 +338,7 @@ class FileTransport : public Transport {
     if (fp_) fclose(fp_);
   }
   bool ok() const { return fp_ != nullptr; }
-  int read_reg(uint16_t, uint32_t* v) override { *v = 0; return 0; }
-  int write_reg(uint16_t, uint32_t) override { return 0; }
-  int i2c_read(uint8_t dev, uint8_t reg, uint8_t* v) override {
+  int i2c_read_impl(uint8_t dev, uint8_t reg, uint8_t* v) override {
     if (dev != tuner_addr_) return -1;
     if (reg == sel_.id_reg) { *v = sel_.id_value; return 0; }
     *v = 0;
@@ -283,24 +366,197 @@ class FileTransport : public Transport {
 };
 
 // ---------------------------------------------------------------------------
-// demod core: register programming + capture thread + ring buffer
-// (the lib/baz_rtl_source_c.h:68-243 + rtl2832::demod architecture)
+// device table: USB product identities with per-product tuner hints
+// (data from /root/reference/lib/rtl2832.cc:111-216 — VID/PIDs are
+// public hardware identity constants; the hint is the tuner the probe
+// falls back to when silicon auto-detection fails, reference :513-521)
 // ---------------------------------------------------------------------------
+struct DeviceInfo {
+  const char* name;
+  uint16_t vid, pid;
+  const char* tuner_hint;  // nullptr = auto-probe only
+};
+
+static const DeviceInfo kDeviceTable[] = {
+    {"ezcap EzTV", 0x0bda, 0x2838, nullptr},
+    {"Terratec NOXON (rev 1)", 0x0ccd, 0x00b3, "fc0013"},
+    {"Terratec NOXON (rev 2)", 0x0ccd, 0x00e0, nullptr},
+    {"Terratec NOXON (rev 3)", 0x0ccd, 0x00d7, nullptr},
+    {"Hama nano", 0x0bda, 0x2832, nullptr},
+    {"Dexatek Technology (rev 1)", 0x1d19, 0x1101, "fc0013"},
+    {"Dexatek Technology (rev 2)", 0x1d19, 0x1102, "fc0013"},
+    {"Dexatek Technology (rev 3)", 0x1d19, 0x1103, "fc0013"},
+    {"Peak", 0x1b80, 0xd395, "fc0012"},
+    {"Ardata MyVision", 0x1b80, 0xd393, "fc0012"},
+    {"MyGica/G-Tek", 0x1f4d, 0xb803, "fc0012"},
+    {"Lifeview", 0x1f4d, 0xc803, "fc0012"},
+    {"Prolectrix", 0x1f4d, 0xd803, "fc0012"},
+    {"Terratec Cinergy T (rev 1)", 0x0ccd, 0x00a9, "fc0012"},
+    {"Terratec Cinergy T (rev 3)", 0x0ccd, 0x00d3, nullptr},
+    {"DIKOM HD", 0x1b80, 0xd394, "fc0012"},
+    {"Twintech", 0x1b80, 0xd3a4, nullptr},
+    {"Genius TVGo (rev 2)", 0x0458, 0x707f, nullptr},
+    {"SVEON", 0x1b80, 0xd39d, nullptr},
+    {"Compro Videomate U620F", 0x185b, 0x0620, nullptr},
+    {"Compro Videomate U650F", 0x185b, 0x0650, nullptr},
+};
+
+const DeviceInfo* device_by_id(uint16_t vid, uint16_t pid) {
+  for (const auto& d : kDeviceTable)
+    if (d.vid == vid && d.pid == pid) return &d;
+  return nullptr;
+}
+
+// ---------------------------------------------------------------------------
+// demod core: register programming + capture thread + ring buffer
+// (the lib/baz_rtl_source_c.h:68-243 + rtl2832::demod architecture;
+// the register programs below are write-for-write faithful to
+// /root/reference/lib/rtl2832.cc:903-1015)
+// ---------------------------------------------------------------------------
+// default FIR coefficients used for DAB/FM (reference :908-911)
+static const uint8_t kDefaultFirCoeff[20] = {
+    0xca, 0xdc, 0xd7, 0xd8, 0xe0, 0xf2, 0x0e, 0x35, 0x06, 0x50,
+    0x9c, 0x0d, 0x71, 0x11, 0x14, 0x71, 0x74, 0x19, 0x41, 0x00,
+};
+
 class Demod {
  public:
-  explicit Demod(std::unique_ptr<Transport> t, const char* prefer = nullptr)
-      : t_(std::move(t)), prefer_(prefer ? prefer : "") {}
-  ~Demod() { stop(); }
+  explicit Demod(std::unique_ptr<Transport> t, const char* prefer = nullptr,
+                 uint16_t vid = 0, uint16_t pid = 0)
+      : t_(std::move(t)), prefer_(prefer ? prefer : "") {
+    info_ = device_by_id(vid, pid);
+    if (!info_ && (vid || pid)) custom_ = true;
+  }
+  ~Demod() {
+    stop();
+    // poweroff demodulator and ADCs (reference destroy(), :869)
+    write_reg(SYSB, DEMOD_CTL, 0x20, 1);
+  }
+
+  // -- the RTL2832U register access scheme (reference :563-700) ----------
+  int write_reg(uint8_t block, uint16_t addr, uint16_t val, uint8_t len) {
+    uint8_t data[2];
+    if (len == 1) data[0] = val & 0xff;
+    else { data[0] = val >> 8; data[1] = val & 0xff; }
+    return t_->ctrl_out(addr, (uint16_t)((block << 8) | 0x10), data, len);
+  }
+  int read_reg(uint8_t block, uint16_t addr, uint8_t len, uint16_t* out) {
+    uint8_t data[2] = {0, 0};
+    int r = t_->ctrl_in(addr, (uint16_t)(block << 8), data, len);
+    *out = (uint16_t)((data[1] << 8) | data[0]);
+    return r;
+  }
+  int demod_write_reg(uint8_t page, uint16_t addr, uint16_t val,
+                      uint8_t len) {
+    uint8_t data[2];
+    if (len == 1) data[0] = val & 0xff;
+    else { data[0] = val >> 8; data[1] = val & 0xff; }
+    int r = t_->ctrl_out((uint16_t)((addr << 8) | 0x20),
+                         (uint16_t)(0x10 | page), data, len);
+    if (r >= 0) {  // completion handshake read (reference :697-701)
+      uint16_t dummy;
+      r = demod_read_reg(0x0a, 0x01, 1, &dummy);
+    }
+    return r;
+  }
+  int demod_read_reg(uint8_t page, uint8_t addr, uint8_t len,
+                     uint16_t* out) {
+    uint8_t data[2] = {0, 0};
+    int r = t_->ctrl_in((uint16_t)((addr << 8) | 0x20), page, data, len);
+    *out = (uint16_t)((data[1] << 8) | data[0]);
+    return r;
+  }
+  int set_i2c_repeater(bool on) {  // reference :746-749
+    return demod_write_reg(1, 0x01, on ? 0x18 : 0x10, 1);
+  }
+  // GPIO control (reference :750-775)
+  int set_gpio_output(uint8_t gpio) {
+    uint16_t reg;
+    gpio = (uint8_t)(1 << gpio);
+    read_reg(SYSB, GPD, 1, &reg);
+    write_reg(SYSB, GPO, reg & ~gpio, 1);
+    read_reg(SYSB, GPOE, 1, &reg);
+    write_reg(SYSB, GPOE, reg | gpio, 1);
+    return 0;
+  }
+  int set_gpio_bit(uint8_t gpio, int val) {
+    uint16_t reg;
+    gpio = (uint8_t)(1 << gpio);
+    read_reg(SYSB, GPO, 1, &reg);
+    reg = val ? (reg | gpio) : (reg & ~gpio);
+    write_reg(SYSB, GPO, reg, 1);
+    return 0;
+  }
+
+  // init_demod: the reference's full power-on program, write-for-write
+  // (/root/reference/lib/rtl2832.cc:903-975)
+  int init_demod(const uint8_t* fir_coeff = nullptr) {
+    const uint8_t* fir = fir_coeff ? fir_coeff : kDefaultFirCoeff;
+    // initialize USB
+    write_reg(USBB, USB_SYSCTL, 0x09, 1);
+    write_reg(USBB, USB_EPA_MAXPKT, 0x0002, 2);
+    write_reg(USBB, USB_EPA_CTL, 0x1002, 2);
+    // poweron demod
+    write_reg(SYSB, DEMOD_CTL_1, 0x22, 1);
+    write_reg(SYSB, DEMOD_CTL, 0xe8, 1);
+    // reset demod (bit 3, soft_rst)
+    demod_write_reg(1, 0x01, 0x14, 1);
+    demod_write_reg(1, 0x01, 0x10, 1);
+    // disable spectrum inversion and adjacent channel rejection
+    demod_write_reg(1, 0x16, 0x0000, 2);
+    // clear the IF registers (0x16..0x1b)
+    for (int i = 0; i < 6; ++i)
+      demod_write_reg(1, (uint16_t)(0x16 + i), 0x00, 1);
+    // the 20-byte DAB/FM FIR coefficient bank
+    for (int i = 0; i < 20; ++i)
+      demod_write_reg(1, (uint16_t)(0x1c + i), fir[i], 1);
+    demod_write_reg(0, 0x19, 0x05, 1);
+    // init FSM state-holding register
+    demod_write_reg(1, 0x93, 0xf0, 1);
+    demod_write_reg(1, 0x94, 0x0f, 1);
+    // disable AGC (en_dagc, bit 0)
+    demod_write_reg(1, 0x11, 0x00, 1);
+    // disable RF and IF AGC loop
+    demod_write_reg(1, 0x04, 0x00, 1);
+    // disable PID filter
+    demod_write_reg(0, 0x61, 0x60, 1);
+    // enable Zero-IF mode, DC cancellation, IQ estimation/compensation
+    demod_write_reg(1, 0xb1, 0x1b, 1);
+    // disable 4.096 MHz clock output on pin TP_CK0
+    demod_write_reg(0, 0x0d, 0x83, 1);
+    return set_if(0.0);
+  }
+
+  // IF programming incl. the zero/low-IF datapath switch
+  // (/root/reference/lib/rtl2832.cc:977-1015)
+  int set_if(double frequency) {
+    unsigned long adj = (unsigned long)(((frequency * (double)(1ULL << 22))
+                                         / kCrystalHz) * (-1.0));
+    demod_write_reg(1, 0x19, (adj >> 16) & 0x3f, 1);
+    demod_write_reg(1, 0x1a, (adj >> 8) & 0xff, 1);
+    demod_write_reg(1, 0x1b, adj & 0xff, 1);
+    if (frequency == 0.0) {
+      demod_write_reg(1, 0xb1, 0x1b, 1);  // enable Zero-IF mode
+      demod_write_reg(0, 0x08, 0xcd, 1);  // I + Q ADC input
+      demod_write_reg(1, 0x15, 0x00, 1);  // no spectrum inversion
+    } else {
+      demod_write_reg(1, 0xb1, 0x1a, 1);  // disable Zero-IF mode
+      demod_write_reg(0, 0x08, 0x4d, 1);  // only I ADC input
+      demod_write_reg(1, 0x15, 0x01, 1);  // spectrum inversion
+    }
+    demod_write_reg(0, 0x06, 0x80, 1);  // default ADC_I/ADC_Q datapath
+    return 0;
+  }
 
   int initialise() {
-    // reset + demod init register sequence (shape of init_demod)
-    t_->write_reg(0x3000, 0x01);
-    t_->write_reg(0x3001, 0x00);
-    // tuner probe: walk the registry, match id registers over I2C.
-    // A preferred driver (if named) is probed first — this is how the
-    // ambiguous-silicon pairs (e4000 vs the alternative e4k driver)
-    // are selected, mirroring the reference's compile-time choice.
-    I2CRepeaterScope rep(t_.get(), 0x3018);
+    if (init_demod() != 0) return -1;
+    // tuner probe: walk the registry in the reference's ADD_TUNER order
+    // (e4k, fc0013, fc2580, r820t, fc0012, e4000 — rtl2832.cc:185-190),
+    // matching id registers over I2C behind the repeater. A preferred
+    // driver (if named) is probed first (the reference's
+    // params.tuner_name path, :456-462); the device-table hint is the
+    // fallback when auto-probe fails (:513-521).
+    set_i2c_repeater(true);
     auto try_probe = [&](const TunerProbe& p) {
       uint8_t v = 0;
       if (t_->i2c_read(p.i2c_addr, p.id_reg, &v) == 0 && v == p.id_value) {
@@ -318,6 +574,15 @@ class Demod {
       for (const auto& p : tuner_registry())
         if (try_probe(p)) break;
     }
+    if (!tuner_ && info_ && info_->tuner_hint) {
+      // auto-probe failed: force the device-table hint
+      const TunerProbe* p = probe_by_name(info_->tuner_hint);
+      if (p) {
+        tuner_.reset(p->factory(t_.get()));
+        tuner_->initialise();
+      }
+    }
+    set_i2c_repeater(false);
     if (!tuner_) return -1;
     set_sample_rate(2.048e6);
     return 0;
@@ -326,6 +591,9 @@ class Demod {
   const char* tuner_name() const {
     return tuner_ ? tuner_->name() : "(none)";
   }
+  const char* product_name() const {
+    return info_ ? info_->name : (custom_ ? "(custom)" : "(no name)");
+  }
   Transport* transport() { return t_.get(); }
   double actual_lo() const {
     return tuner_ ? tuner_->actual_lo_hz() : 0.0;
@@ -333,13 +601,17 @@ class Demod {
 
   int set_sample_rate(double rate) {
     if (rate < kMinRate || rate > kMaxRate) return -1;
-    // exact rational resampler ratio vs crystal (rtl2832 style):
-    // ratio = round(xtal * 2^22 / rate), forced even in the low bits
-    uint32_t ratio = (uint32_t)std::lround(kCrystalHz * 4194304.0 / rate);
-    ratio &= 0x0FFFFFFC;
+    // exact rational resampler ratio vs crystal
+    // (/root/reference/lib/rtl2832.cc:705-743): ratio = floor(xtal *
+    // 2^22 / rate) with the low two bits cleared, programmed into the
+    // demod's page-1 0x9f/0xa1 register pair
+    uint32_t ratio =
+        (uint32_t)(((uint64_t)kCrystalHz * 4194304ull) / (uint64_t)rate);
+    ratio &= ~3u;
+    if (ratio == 0) return -1;
     double real_rate = kCrystalHz * 4194304.0 / ratio;
-    t_->write_reg(0x319F, ratio >> 16);
-    t_->write_reg(0x31A1, ratio & 0xFFFF);
+    demod_write_reg(1, 0x9f, (uint16_t)(ratio >> 16), 2);
+    demod_write_reg(1, 0xa1, (uint16_t)(ratio & 0xffff), 2);
     rate_ = real_rate;
     reconfigure();
     return 0;
@@ -348,28 +620,32 @@ class Demod {
 
   int set_frequency(double hz) {
     if (!tuner_) return -1;
-    I2CRepeaterScope rep(t_.get(), 0x3018);
+    set_i2c_repeater(true);
     int r = tuner_->set_frequency(hz * (1.0 + ppm_ * 1e-6));
-    // IF shift compensation in the demod's downconverter register
-    double if_hz = tuner_->if_frequency();
-    int32_t if_word = (int32_t)std::lround(-if_hz * 4194304.0 / kCrystalHz);
-    t_->write_reg(0x3119, (uint32_t)if_word);
+    set_i2c_repeater(false);
+    // IF shift compensation in the demod's downconverter (reference
+    // tuners call set_if during tune; same program here)
+    set_if(tuner_->if_frequency());
     reconfigure();
     return r;
   }
   double frequency() const { return tuner_ ? tuner_->frequency() : 0.0; }
 
   int set_gain(double db) {
-    I2CRepeaterScope rep(t_.get(), 0x3018);
-    return tuner_ ? tuner_->set_gain(db) : -1;
+    set_i2c_repeater(true);
+    int r = tuner_ ? tuner_->set_gain(db) : -1;
+    set_i2c_repeater(false);
+    return r;
   }
   double gain() const { return tuner_ ? tuner_->gain() : 0.0; }
   GainRange gain_range() const {
     return tuner_ ? tuner_->gain_range() : GainRange{0, 0, 1};
   }
   int set_gain_mode(int m) {
-    I2CRepeaterScope rep(t_.get(), 0x3018);
-    return tuner_ ? tuner_->set_gain_mode(m) : -1;
+    set_i2c_repeater(true);
+    int r = tuner_ ? tuner_->set_gain_mode(m) : -1;
+    set_i2c_repeater(false);
+    return r;
   }
   void set_ppm(double ppm) {
     ppm_ = ppm;
@@ -377,8 +653,16 @@ class Demod {
   }
 
   // -- capture thread + ring (lib/baz_rtl_source_c.h:84-127 shape) --------
+  // reset endpoint before streaming (reference demod::reset, :860-866)
+  int reset() {
+    write_reg(USBB, USB_EPA_CTL, 0x1002, 2);
+    write_reg(USBB, USB_EPA_CTL, 0x0000, 2);
+    return 0;
+  }
+
   int start(uint32_t ring_bytes) {
     if (running_.exchange(true)) return 0;
+    reset();
     ring_.assign(ring_bytes ? ring_bytes : (1u << 22), 0);
     head_ = tail_ = 0;
     thr_ = std::thread([this] { capture_loop(); });
@@ -444,6 +728,8 @@ class Demod {
 
   std::unique_ptr<Transport> t_;
   std::string prefer_;
+  const DeviceInfo* info_ = nullptr;
+  bool custom_ = false;
   std::unique_ptr<Tuner> tuner_;
   double rate_ = 2.048e6, ppm_ = 0.0;
   std::atomic<bool> running_{false};
@@ -486,6 +772,52 @@ void* rtl_open_sim(double tone_offset, double amplitude, double noise,
     return nullptr;
   }
   return d;
+}
+
+// open by USB identity: the VID/PID device table supplies the product
+// name and the tuner-hint fallback (reference find_device,
+// lib/rtl2832.cc:353-416). `tuner` < 0 leaves auto-probe + hint to
+// decide (sim answers the hinted tuner's id when one exists).
+void* rtl_open_sim_dev(uint16_t vid, uint16_t pid, double tone_offset,
+                       double amplitude, double noise, uint64_t seed,
+                       int tuner) {
+  const rtl::TunerProbe* p = tuner_probe_for_id(tuner);
+  if (!p) {
+    const rtl::DeviceInfo* info = rtl::device_by_id(vid, pid);
+    p = rtl::probe_by_name(info && info->tuner_hint ? info->tuner_hint
+                                                    : "e4k");
+  }
+  if (!p) return nullptr;
+  auto* d = new rtl::Demod(std::make_unique<rtl::SimTransport>(
+      *p, tone_offset, amplitude, noise, seed), nullptr, vid, pid);
+  if (d->initialise() != 0) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+const char* rtl_product_name(void* h) {
+  return ((rtl::Demod*)h)->product_name();
+}
+int rtl_device_table_count() {
+  return (int)(sizeof(rtl::kDeviceTable) / sizeof(rtl::kDeviceTable[0]));
+}
+int rtl_device_table_get(int i, const char** name, uint16_t* vid,
+                         uint16_t* pid, const char** hint) {
+  if (i < 0 || i >= rtl_device_table_count()) return -1;
+  const auto& d = rtl::kDeviceTable[i];
+  if (name) *name = d.name;
+  if (vid) *vid = d.vid;
+  if (pid) *pid = d.pid;
+  if (hint) *hint = d.tuner_hint ? d.tuner_hint : "";
+  return 0;
+}
+int rtl_set_gpio_output(void* h, uint8_t gpio) {
+  return ((rtl::Demod*)h)->set_gpio_output(gpio);
+}
+int rtl_set_gpio_bit(void* h, uint8_t gpio, int val) {
+  return ((rtl::Demod*)h)->set_gpio_bit(gpio, val);
 }
 
 void* rtl_open_file(const char* path, int tuner) {
@@ -558,5 +890,28 @@ void rtl_i2c_log_clear(void* h) {
   ((rtl::Demod*)h)->transport()->i2c_log_.clear();
 }
 double rtl_actual_lo(void* h) { return ((rtl::Demod*)h)->actual_lo(); }
+
+// Control-transfer wire log (demod register-program assertion surface:
+// every USB control transfer as (dir, wValue, wIndex, data) tuples)
+int rtl_wire_log_count(void* h) {
+  return (int)((rtl::Demod*)h)->transport()->wire_log_.size();
+}
+int rtl_wire_log_get(void* h, int idx, uint8_t* out, uint16_t* value,
+                     uint16_t* index, uint8_t* len, uint8_t* d0,
+                     uint8_t* d1) {
+  auto& log = ((rtl::Demod*)h)->transport()->wire_log_;
+  if (idx < 0 || idx >= (int)log.size()) return -1;
+  const auto& op = log[idx];
+  if (out) *out = op.out;
+  if (value) *value = op.value;
+  if (index) *index = op.index;
+  if (len) *len = op.len;
+  if (d0) *d0 = op.d0;
+  if (d1) *d1 = op.d1;
+  return 0;
+}
+void rtl_wire_log_clear(void* h) {
+  ((rtl::Demod*)h)->transport()->wire_log_.clear();
+}
 
 }  // extern "C"

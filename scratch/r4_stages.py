@@ -61,6 +61,22 @@ elif stage in ("chan_rtf0", "chan_rtf1"):
                                   rotate_taps=(stage == "chan_rtf1"))
     mk = lambda: Stream(data=tone(block, 10e3, fs), count=jnp.int32(block),
                         meta=StreamMeta.start(fs))
+elif stage in ("chan_pallas", "chan_pallas_d"):
+    from grbaz_tpu.ops.fir import low_pass_taps, prepare_taps
+    from grbaz_tpu.ops.pallas import wbfm_frontend as wf
+    taps = low_pass_taps(1.0, fs, 112.5e3, 75e3)
+    h = prepare_taps(taps, 8)
+    prec = "high" if stage == "chan_pallas" else "default"
+    tpad = int(h.shape[0])
+    mk = lambda: Stream(data=tone(block, 10e3, fs), count=jnp.int32(block),
+                        meta=StreamMeta.start(fs))
+    def apply_fn(st, pr, xs):
+        frame = jnp.concatenate([st["tail"][1:], xs.data])
+        yf = wf.xlating_fir_frame_pallas(frame, h, 8, pr["inc"],
+                                         precision=prec)
+        return dict(tail=xs.data[-tpad:]), _osum(yf)
+    init_state = lambda: dict(tail=np.zeros((tpad,), np.complex64))
+    init_params = lambda: dict(inc=np.uint32(123456789))
 elif stage == "osc":
     from grbaz_tpu.ops import exact
     mk = lambda: Stream(data=tone(block, 10e3, fs), count=jnp.int32(block),
@@ -111,17 +127,47 @@ def init_all():
     return st, mk()
 
 
+def _poison(data, osum):
+    """data + 0*osum: keeps the array bit-identical but makes it
+    formally iteration-dependent (float NaN semantics forbid folding
+    0*x), so XLA can neither hoist the kernel out of the scan (LICM)
+    nor dead-code-eliminate it."""
+    z = (0.0 * osum)
+    if jnp.iscomplexobj(data):
+        return data + z.astype(data.dtype)
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        return data + z.astype(data.dtype)
+    return data  # integer streams: rely on the output checksum only
+
+
 def scan_stage(st, pr, xs):
-    """The OUTPUT checksum rides the carry: every stage's full output
-    feeds the fence, so XLA cannot dead-code-eliminate the kernel work
-    (a state-only carry lets it — the channelizer's carried tail is an
-    input slice, and scalar states can be sliced through)."""
+    """Both the OUTPUT checksum and the INPUT arrays ride the carry:
+    the checksum defeats dead-code elimination (a state-only carry lets
+    XLA drop the kernel entirely), and carrying the input defeats
+    loop-invariant hoisting (with a constant input XLA computes the
+    input-dependent part ONCE outside the loop — measured: quadrature
+    demod 'ran' in 5.6 us because only the one state-dependent output
+    element stayed in the loop)."""
+    import dataclasses as _dc
+
     def body(c, _):
-        s, acc = c
-        s2, osum = apply_fn(s, pr, xs)
-        return (s2, acc + osum.astype(jnp.float32)), ()
-    (st2, acc), _ = jax.lax.scan(body, (st, jnp.float32(0)), None,
-                                 length=REPS)
+        s, xd, acc = c
+        if isinstance(xs, dict):
+            xs2 = {k: _dc.replace(v, data=xd[k]) for k, v in xs.items()}
+        else:
+            xs2 = _dc.replace(xs, data=xd)
+        s2, osum = apply_fn(s, pr, xs2)
+        osum = osum.astype(jnp.float32)
+        if isinstance(xd, dict):
+            xd2 = {k: _poison(v, osum) for k, v in xd.items()}
+        else:
+            xd2 = _poison(xd, osum)
+        return (s2, xd2, acc + osum), ()
+
+    xd0 = {k: v.data for k, v in xs.items()} if isinstance(xs, dict) \
+        else xs.data
+    (st2, _xd, acc), _ = jax.lax.scan(
+        body, (st, xd0, jnp.float32(0)), None, length=REPS)
     return st2, acc
 
 
