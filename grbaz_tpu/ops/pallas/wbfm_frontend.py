@@ -10,8 +10,23 @@ the WBFM shape — ~10x the useful traffic). This kernel keeps the
 partial products in VMEM: HBM sees the input once and the decimated
 output once.
 
-Formulation (TPU-first; v2 — the r3 "banded" kernel widened K ~15x and
-measured 18x slower than XLA, so it was replaced by this design):
+Hard-won layout facts baked into this design (v3 — measured on v5e):
+
+* **Never bitcast complex64 to interleaved f32.** TPU XLA stores
+  complex arrays as separate real/imaginary planes; the interleaved
+  ``.view(float32)`` lowers to two full-length scatters — measured
+  9.9 ms for a 1M-sample block, which silently dominated both earlier
+  kernel versions (r3's banded kernel and this file's v2). ``.real`` /
+  ``.imag`` / ``lax.complex`` are the free plane accessors. All kernel
+  I/O is therefore plane-separated f32.
+
+* **Keep VMEM block minor dims at 128 lanes.** Narrow blocks (e.g. the
+  polyphase ``[rows, 2*decim]`` view) transfer at ~64 B/row.
+
+* **Tiles of ~1024 polyphase rows.** 4096-row tiles exhaust VMEM and
+  hang the chip (no compile-time error through this attachment).
+
+Formulation:
 
 * LO folded into the taps (the rotated-taps identity of
   ``ops.fir.xlating_fir_decimate_frame``): complex taps
@@ -21,28 +36,24 @@ measured 18x slower than XLA, so it was replaced by this design):
   FM discriminator's constant phase offset (WBFM chain; see
   :func:`grbaz_tpu.models.wbfm` fused path). No full-rate sin/cos.
 
-* Polyphase partial products as ONE interleaved matmul. The complex64
-  frame bitcasts to f32 pairs and reshapes to the polyphase row matrix
-  ``Z[j, 2p+parity]`` (row j = samples j*D..j*D+D-1 as re,im pairs — a
-  free layout op). Against the interleaved tap matrix
+* Polyphase partial products as PACKED-LAYOUT matmuls. Each f32 plane
+  reshapes (freely) to ``[rows/rpr, 128]`` where a packed row holds
+  ``rpr = 128/decim`` consecutive polyphase rows of ``decim`` samples.
+  Against block-diagonal tap matrices ``Tr/Ti[g*decim + i, g*cpm + m] =
+  re/im g[m*decim + i]`` (one diagonal block per subrow g), four MXU
+  dots give the complex partials in the same packed layout:
+  ``Q[r, g*cpm + m] = partial_m(r*rpr + g)``.
 
-      T[2p,   2m] =  re g[mD+p]     T[2p,   2m+1] =  im g[mD+p]
-      T[2p+1, 2m] = -im g[mD+p]     T[2p+1, 2m+1] =  re g[mD+p]
+* Band sum in VMEM on the packed layout: output ``k`` needs
+  ``sum_m partial_m(k + m)``, i.e. column m shifts up by m polyphase
+  rows. Done bit-by-bit with full-width ``pltpu.roll``s: a shift of
+  ``b < rpr`` rows is a lane rotation by ``b*cpm`` (+ a row carry on
+  the groups that wrap), ``b`` a multiple of ``rpr`` is a pure row
+  roll; lane-iota masks select the columns whose m has bit b set.
 
-  ``Q = Z @ T`` gives ``Q[j, 2m] = Re partial_m(j)``,
-  ``Q[j, 2m+1] = Im partial_m(j)`` where
-  ``partial_m(j) = sum_p g[mD+p] x[jD+p]``, and the output is the band
-  sum ``y[k] = sum_m partial_m(k+m)``.
-
-* Band sum in VMEM via masked log-rolls: column pair m must shift up by
-  m rows. For each bit b of m, roll the whole Q tile up by b and select
-  the rolled value on lanes whose m has bit b set (a lane-iota mask) —
-  5 full-lane-width rolls+selects instead of n_phases lane-starved
-  column slices. A final tiny matmul against the 0/1 selection matrix
-  ``S[2m+s, s] = 1`` sums the bands into ``y[k] = (re, im)``.
-
-* Grid walks row tiles; the next tile's first HALO rows are the same
-  array through a second BlockSpec, so partials never leave VMEM.
+* A final tiny dot against the 0/1 selection matrix ``S[g*cpm + m, g]``
+  sums the bands; outputs leave as packed ``[rows/rpr, rpr]`` f32
+  planes that reshape freely to ``y_re/y_im[n_out]``.
 
 Precision: ``precision`` selects the Mosaic matmul decomposition —
 ``'high'`` aliases lax.Precision.HIGHEST (full f32-quality passes —
@@ -63,8 +74,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grbaz_tpu.ops import exact
 
-# Halo rows appended to each tile: covers the band sum's maximum
-# up-shift (n_phases-1 <= 31) and keeps tile boundaries multiple-of-8.
+# band margin in polyphase rows (max tap-bank up-shift supported)
 HALO = 32
 
 
@@ -82,104 +92,116 @@ def rotated_taps(h_rev_pad: jax.Array, lo_inc: jax.Array) -> jax.Array:
                                                            jnp.sin(ang))
 
 
-def interleaved_tap_matrix(g: jax.Array, decim: int,
-                           n_phases_pad: int) -> jax.Array:
-    """[2*decim, 2*n_phases_pad] interleaved polyphase tap matrix T."""
-    tpad = g.shape[0]
-    gr = g.real.astype(jnp.float32)
-    gi = g.imag.astype(jnp.float32)
-    rows = jnp.arange(2 * decim, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(2 * n_phases_pad, dtype=jnp.int32)[None, :]
-    p = rows // 2
-    in_par = rows % 2
-    m = cols // 2
-    out_par = cols % 2
-    t = m * decim + p
-    valid = t < tpad
+def packed_tap_matrix(g_plane: jax.Array, decim: int,
+                      n_phases_pad: int) -> jax.Array:
+    """Block-diagonal packed tap matrix [128, rpr*cpm] for one plane:
+    T[gi*decim + i, gi*cpm + m] = g_plane[m*decim + i]."""
+    tpad = g_plane.shape[0]
+    rpr = 128 // decim
+    cpm = n_phases_pad
+    rows = jnp.arange(128, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(rpr * cpm, dtype=jnp.int32)[None, :]
+    gi_r, i = rows // decim, rows % decim
+    gi_c, m = cols // cpm, cols % cpm
+    t = m * decim + i
+    valid = (gi_r == gi_c) & (t < tpad)
     tc = jnp.clip(t, 0, tpad - 1)
-    re_t, im_t = gr[tc], gi[tc]
-    # (in_par, out_par): (0,0)=re, (1,0)=-im, (0,1)=im, (1,1)=re
-    v = jnp.where(out_par == 0,
-                  jnp.where(in_par == 0, re_t, -im_t),
-                  jnp.where(in_par == 0, im_t, re_t))
-    return jnp.where(valid, v, 0.0)
+    return jnp.where(valid, g_plane.astype(jnp.float32)[tc], 0.0)
 
 
-def _kernel(z_ref, halo_ref, t_ref, s_ref, y_ref, *, tile_rows: int,
-            n_phases_pad: int, precision):
-    z = jnp.concatenate([z_ref[:], halo_ref[:]], axis=0)  # [TR+HALO, 2D]
-    q = jnp.dot(z, t_ref[:], precision=precision,
-                preferred_element_type=jnp.float32)  # [TR+HALO, 2Mp]
-    # band alignment: column pair m shifts up by m rows, done as masked
-    # log-rolls (shift-by-b on the whole tile, select on lanes with bit
-    # b of m set). No wraparound contamination: the largest total shift
-    # is n_phases_pad-1 < HALO and only rows [0, TR) are read out.
-    n_rows = q.shape[0]
-    lane_m = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) // 2
+def _align_bands(q, n_phases_pad: int, cpm: int, rpr: int):
+    """Aligned[r, g*cpm + m] = Q[(r*rpr + g + m) folded, m]."""
+    n_rows, n_lanes = q.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    g = lane // cpm
+    m = lane % cpm
     b = 1
     while b < n_phases_pad:
-        rolled = pltpu.roll(q, n_rows - b, 0)  # rolled[r] = q[r+b]
-        q = jnp.where((lane_m & b) != 0, rolled, q)
+        if b % rpr == 0:
+            rolled = pltpu.roll(q, n_rows - b // rpr, 0)
+        else:
+            sh = (b * cpm) % n_lanes
+            a_same = pltpu.roll(q, n_lanes - sh, 1)
+            a_next = pltpu.roll(pltpu.roll(q, n_rows - 1, 0),
+                                n_lanes - sh, 1)
+            rolled = jnp.where((g + (b % rpr)) >= rpr, a_next, a_same)
+        q = jnp.where((m & b) != 0, rolled, q)
         b <<= 1
-    y_ref[:] = jnp.dot(q[:tile_rows], s_ref[:], precision=precision,
+    return q
+
+
+def _kernel(zr_ref, zi_ref, hr_ref, hi_ref, s_ref,
+            zr_halo, zi_halo, yr_ref, yi_ref, *, n_phases_pad: int,
+            decim: int, precision):
+    cpm = n_phases_pad
+    rpr = 128 // decim
+    zr = jnp.concatenate([zr_ref[:], zr_halo[:]], axis=0)
+    zi = jnp.concatenate([zi_ref[:], zi_halo[:]], axis=0)
+
+    def dot(a, b_mat):
+        return jnp.dot(a, b_mat, precision=precision,
                        preferred_element_type=jnp.float32)
+
+    qr = dot(zr, hr_ref[:]) - dot(zi, hi_ref[:])
+    qi = dot(zr, hi_ref[:]) + dot(zi, hr_ref[:])
+    qr = _align_bands(qr, n_phases_pad, cpm, rpr)
+    qi = _align_bands(qi, n_phases_pad, cpm, rpr)
+    nr = yr_ref.shape[0]
+    yr_ref[:] = dot(qr[:nr], s_ref[:])
+    yi_ref[:] = dot(qi[:nr], s_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile_rows", "n_phases_pad", "precision", "interpret"))
-def _run(zi: jax.Array, t_mat: jax.Array, s_mat: jax.Array, *,
-         tile_rows: int, n_phases_pad: int, precision: str,
-         interpret: bool):
-    a_rows = zi.shape[0] - HALO
-    two_d = zi.shape[1]
-    grid = a_rows // tile_rows
-    # Mosaic's dot lowering accepts DEFAULT and HIGHEST only (HIGH
-    # raises NotImplementedError on real TPU); 'high' therefore maps to
-    # the full f32-quality decomposition.
+    "tile2", "n_phases_pad", "decim", "precision", "interpret"))
+def _run(zr2: jax.Array, zi2: jax.Array, hr: jax.Array, hi: jax.Array,
+         s_mat: jax.Array, *, tile2: int, n_phases_pad: int, decim: int,
+         precision: str, interpret: bool):
+    rpr = 128 // decim
+    r2 = zr2.shape[0] - 8          # packed rows of real output
+    grid = r2 // tile2
     prec = dict(default=jax.lax.Precision.DEFAULT,
                 high=jax.lax.Precision.HIGHEST,
                 highest=jax.lax.Precision.HIGHEST)[precision]
-    kern = functools.partial(_kernel, tile_rows=tile_rows,
-                             n_phases_pad=n_phases_pad, precision=prec)
-    y = pl.pallas_call(
+    kern = functools.partial(_kernel, n_phases_pad=n_phases_pad,
+                             decim=decim, precision=prec)
+    main = pl.BlockSpec((tile2, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((8, 128), lambda i: ((i + 1) * (tile2 // 8), 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((tile2, rpr), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((tile_rows, two_d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALO, two_d),
-                         lambda i: ((i + 1) * (tile_rows // HALO), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(t_mat.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(s_mat.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_rows, 2), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((a_rows, 2), jnp.float32),
+        in_specs=[main, main, const(hr), const(hi), const(s_mat),
+                  halo, halo],
+        out_specs=(out, out),
+        out_shape=(jax.ShapeDtypeStruct((r2, rpr), jnp.float32),
+                   jax.ShapeDtypeStruct((r2, rpr), jnp.float32)),
         interpret=interpret,
-    )(zi, zi, t_mat, s_mat)
-    return y
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+    )(zr2, zi2, hr, hi, s_mat, zr2, zi2)
+    return yr, yi
 
 
 def supported(n_new: int, decim: int) -> bool:
     """True if the fused kernel handles this (block size, decim) shape."""
-    if decim < 2 or 2 * decim > 128 or n_new % decim:
+    if decim < 2 or decim > 64 or 128 % decim or n_new % decim:
         return False
+    rpr = 128 // decim
     n_out = n_new // decim
-    return n_out % (8 * HALO) == 0
+    quantum = 8 * rpr * 8          # min tile2 of 8 packed rows, 8 tiles
+    return n_out % quantum == 0
 
 
-def _pick_tile_rows(n_out: int) -> int:
-    tr = min(n_out, 4096)
-    while n_out % tr or tr % HALO:
-        tr //= 2
-    return max(tr, HALO)
+def _pick_tile2(r2: int) -> int:
+    """Packed-row tile: 64 packed rows x 128 lanes x ~6 live buffers
+    stays well inside VMEM (1024-polyphase-row tiles; 4096 hangs)."""
+    t = min(r2, 64)
+    while r2 % t or t % 8:
+        t //= 2
+    return max(t, 8)
 
 
 def xlating_fir_frame_pallas(frame: jax.Array, h_rev_pad: jax.Array,
@@ -203,32 +225,42 @@ def xlating_fir_frame_pallas(frame: jax.Array, h_rev_pad: jax.Array,
     n_out = n_new // decim
     n_phases = tpad // decim
     n_phases_pad = _round_up(n_phases, 4)
+    rpr = 128 // decim
     assert n_phases_pad <= HALO, "tap span exceeds the halo budget"
+    assert n_phases_pad + rpr - 1 <= 8 * rpr, \
+        "folded band shift exceeds the packed halo rows"
 
     g = rotated_taps(jnp.asarray(h_rev_pad, jnp.float32), lo_inc)
-    t_mat = interleaved_tap_matrix(g, decim, n_phases_pad)
-    # selection matrix: sum band columns into (re, im)
-    cols = np.arange(2 * n_phases_pad)
-    s_np = np.zeros((2 * n_phases_pad, 2), np.float32)
-    s_np[cols, cols % 2] = 1.0
+    hr = packed_tap_matrix(g.real, decim, n_phases_pad)
+    hi = packed_tap_matrix(g.imag, decim, n_phases_pad)
+    cpm = n_phases_pad
+    s_np = np.zeros((rpr * cpm, rpr), np.float32)
+    for gi in range(rpr):
+        s_np[gi * cpm + np.arange(cpm), gi] = 1.0
     s_mat = jnp.asarray(s_np)
 
-    # frame -> interleaved polyphase rows [(n_out + HALO), 2*decim]
-    # (bitcast + pad + reshape, all layout-free). The band sum reads
-    # rows up to n_out-1 + n_phases-1; rows beyond the frame are zero.
-    need = (n_out + HALO) * decim
+    # plane-separated packed polyphase rows (all reshapes of the free
+    # .real/.imag plane accessors — see the layout notes up top). 8
+    # packed rows (= 8*rpr >= HALO + rpr - 1 polyphase rows) of zero
+    # tail keep the per-tile halo block in bounds.
+    need = (n_out + 8 * rpr) * decim
     pad = need - frame.shape[0]
     fc = frame.astype(jnp.complex64)
     if pad > 0:
         fc = jnp.concatenate([fc, jnp.zeros((pad,), jnp.complex64)])
-    zi = fc.view(jnp.float32).reshape(n_out + HALO, 2 * decim)
+    zr2 = fc.real.reshape(-1, 128)
+    zi2 = fc.imag.reshape(-1, 128)
 
-    tile_rows = _pick_tile_rows(n_out)
-    y = _run(zi, t_mat, s_mat, tile_rows=tile_rows,
-             n_phases_pad=n_phases_pad, precision=precision,
-             interpret=interpret)
-    # [n_out, 2] f32 (re, im) -> complex64 via the interleaved bitcast
-    return y[:n_out].reshape(-1).view(jnp.complex64)
+    tile2 = _pick_tile2(n_out // rpr)
+    yr, yi = _run(zr2, zi2, hr, hi, s_mat, tile2=tile2,
+                  n_phases_pad=n_phases_pad, decim=decim,
+                  precision=precision, interpret=interpret)
+    # packed [r, g] -> output k = r*rpr + g: a free row-major reshape
+    return jax.lax.complex(yr.reshape(-1)[:n_out], yi.reshape(-1)[:n_out])
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def rotate_output(yf: jax.Array, phase0: jax.Array, lo_inc: jax.Array,

@@ -38,6 +38,12 @@ from grbaz_tpu.ops.mmse import CENTER, NSTEPS_LOG2, NTAPS, TAPS_TABLE
 
 HIST = NTAPS - 1
 
+# rational fast path (see resample_block_rational): window width with
+# the +/-1 residual-shift margin folded in, and the mu_int range the
+# clamped dynamic slices tolerate
+_RW = NTAPS + 2
+_MU_SLACK = 64
+
 
 def resample_block(frame: jax.Array, mu_int: jax.Array, mu_frac: jax.Array,
                    inc_int: jax.Array, inc_frac: jax.Array, out_capacity: int,
@@ -84,6 +90,147 @@ def resample_block(frame: jax.Array, mu_int: jax.Array, mu_frac: jax.Array,
     return y, n_out, new_mu_int, new_mu_frac
 
 
+def _rational_of(ratio: float, max_den: int = 16):
+    """(p, q) with ratio ~= p/q, q <= max_den, or None.
+
+    The fast path additionally needs p >= _RW (window fits one
+    polyphase row) — i.e. a decimating-ish ratio.
+    """
+    from fractions import Fraction
+    fr = Fraction(ratio).limit_denominator(max_den)
+    if fr.denominator > max_den or fr.numerator < _RW:
+        return None
+    if abs(float(fr) - ratio) > 1e-9 * max(ratio, 1.0):
+        return None
+    return int(fr.numerator), int(fr.denominator)
+
+
+def resample_block_rational(frame: jax.Array, mu_int: jax.Array,
+                            mu_frac: jax.Array, inc_int: jax.Array,
+                            inc_frac: jax.Array, out_capacity: int,
+                            taps_table: jax.Array, p: int, q: int,
+                            n_valid=None):
+    """Gather-free resampler for (near-)rational ratios p/q.
+
+    The generic :func:`resample_block` spends its time in two gathers
+    (the [cap, NTAPS] interpolation windows and the per-output MMSE tap
+    rows) — measured ~940 us/block on v5e for the WBFM audio stage,
+    ~40x off the memory roofline, because TPU element gathers run at a
+    few bytes per cycle. For a ratio constructed as p/q (q small), the
+    output positions follow a STATIC polyphase pattern: output
+    k = q*j + u starts at ``mu_int + p*j + s_u + d_k`` with
+    ``s_u = floor(u*p/q)`` static and the residual ``d_k in {-1,0,1}``
+    (exactness: ``idx_k - mu_int = floor(k*inc + u0)`` with
+    ``|inc - p/q| <= 2^-33`` from the fixed-point rounding and
+    ``u0 in [0,1)``, so it differs from ``floor(k*p/q)`` by at most 1
+    in either direction — and ppb-scale runtime retunes keep it there).
+    Likewise the phase bins per residue drift at most +/-1 within a
+    block. So:
+
+    * windows come from q strided RESHAPES of a dynamically-shifted
+      frame (no gather): ``W_u[j] = frame[mu_int + p*j + s_u - 1 : +_RW]``;
+    * taps come from one small one-hot matmul against <= 9q candidate
+      rows (residue u) x (bin drift -1/0/+1) x (shift d -1/0/+1), each
+      row the exact MMSE taps placed at offset d+1 inside _RW;
+    * every output's EXACT (bin, d) is still computed from the exact
+      32.32 ramp; if any valid output falls outside the candidate set
+      (a large runtime retune), a ``lax.cond`` falls back to the
+      generic gather path — the fast path is never approximate.
+
+    Returns the same tuple as :func:`resample_block` and is
+    bit-compatible with it on the fast path up to f32 product
+    regrouping (the dot over _RW lanes vs NTAPS lanes adds zeros).
+    """
+    n_new = frame.shape[0] - HIST
+    if n_valid is None:
+        n_valid = jnp.int32(n_new)
+    cap = out_capacity
+    # exact positions (identical to the generic path)
+    idx, frac = exact.fixed_positions(cap + 1, mu_frac, inc_int, inc_frac)
+    idx = idx + mu_int
+    valid = idx[:cap] <= n_valid - 1
+    n_out = jnp.sum(valid.astype(jnp.int32))
+    bins = exact.frac_to_phase_bin(frac[:cap], NSTEPS_LOG2)
+    new_mu_int = idx[n_out] - jnp.int32(n_new)
+    new_mu_frac = frac[n_out]
+
+    nj = -(-cap // q)
+    # static pattern + exact residual
+    k_arr = np.arange(cap, dtype=np.int64)
+    s_k = np.asarray((k_arr * p) // q, np.int32)
+    u_k = np.asarray(k_arr % q, np.int32)
+    d = idx[:cap] - (mu_int + jnp.asarray(s_k))          # in {-1,0,1}
+    # per-residue base bins from the exact ramp's first q outputs
+    b_u = bins[:q]                                        # [q]
+    b_k = jnp.tile(b_u, nj)[:cap]
+    db = bins - b_k                                       # in {-1,0,1}
+    matched = (jnp.abs(d) <= 1) & (jnp.abs(db) <= 1)
+    # mu_int outside [0, _MU_SLACK] (partial blocks / big retunes) would
+    # misalign the clamped dynamic slices below -> generic path
+    ok = jnp.all(matched | ~valid) & (mu_int >= 0) & (mu_int <= _MU_SLACK)
+
+    # candidate taps rows: r = u*9 + (db+1)*3 + (d+1) -> [9q, _RW]
+    n_rows = 9 * q
+    tt = jnp.asarray(taps_table)
+    n_bins = tt.shape[0]
+    u_r = np.arange(n_rows, dtype=np.int32) // 9
+    db_r = (np.arange(n_rows, dtype=np.int32) % 9) // 3 - 1
+    d_r = np.arange(n_rows, dtype=np.int32) % 3 - 1
+    bin_r = jnp.clip(b_u[jnp.asarray(u_r)] + jnp.asarray(db_r), 0,
+                     n_bins - 1)
+    base_rows = tt[bin_r]                                 # [9q, NTAPS]
+    # place at offset d+1 within _RW lanes
+    rows = jnp.zeros((n_rows, _RW), jnp.float32)
+    for off in (0, 1, 2):
+        sel = (np.asarray(d_r) + 1) == off
+        rows = rows.at[np.where(sel)[0], off:off + NTAPS].set(
+            base_rows[np.where(sel)[0]])
+
+    combo = (jnp.asarray(u_k) * 9 + (db + 1) * 3 + (d + 1))
+    combo = jnp.clip(combo, 0, n_rows - 1)
+    onehot = (combo[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+    taps_eff = jnp.dot(onehot, rows,
+                       precision=jax.lax.Precision.HIGHEST)  # [cap, _RW]
+
+    # windows via q strided reshapes of the (+1 front-padded) frame
+    need = _MU_SLACK + int(np.max(s_k[:q])) + nj * p + _RW
+    pad_back = max(0, need + 1 - (1 + frame.shape[0]))
+    fp = jnp.concatenate([jnp.zeros((1,), frame.dtype), frame,
+                          jnp.zeros((pad_back,), frame.dtype)])
+    mu_c = jnp.clip(mu_int, 0, _MU_SLACK)
+
+    def windows_of(fp_plane):
+        per_u = []
+        for u in range(q):
+            start = mu_c + jnp.int32(int(s_k[u]))
+            seg = jax.lax.dynamic_slice_in_dim(fp_plane, start, nj * p)
+            per_u.append(seg.reshape(nj, p)[:, :_RW])
+        w = jnp.stack(per_u, axis=1).reshape(nj * q, _RW)[:cap]
+        return w
+
+    def dot_w(w_plane):
+        return jnp.sum(w_plane * taps_eff, axis=1)
+
+    def fast():
+        if jnp.iscomplexobj(frame):
+            yr = dot_w(windows_of(fp.real))
+            yi = dot_w(windows_of(fp.imag))
+            y = (yr + 1j * yi).astype(frame.dtype)
+        else:
+            y = dot_w(windows_of(fp)).astype(frame.dtype)
+        return jnp.where(valid, y, jnp.zeros((), frame.dtype))
+
+    def slow():
+        y, _n, _mi, _mf = resample_block(frame, mu_int, mu_frac, inc_int,
+                                         inc_frac, cap, taps_table,
+                                         n_valid=n_valid)
+        return y
+
+    y = jax.lax.cond(ok, fast, slow)
+    return y, n_out, new_mu_int, new_mu_frac
+
+
 class FractionalResampler(Block):
     """Streaming block form. Ratio lives in ``params`` (retunable).
 
@@ -97,18 +244,27 @@ class FractionalResampler(Block):
         self.block_size = int(block_size)
         self.dtype = dtype
         self.ratio0 = float(ratio)
-        # default capacity headroom: the ratio may retune down to half
+        # default capacity headroom: the ratio may retune down to 90% of
         # the construction ratio before outputs hit the mask ceiling.
-        # (An earlier default of min(ratio,1)*0.5 allocated 2x block_size
-        # slots for decimating ratios — 16x wasted gather/interp work on
-        # the WBFM chain's 8.33 ratio.)
+        # Runtime retunes are ppb-scale rate discipline (the reference's
+        # (int, frac) ppb messages, rate_synchroniser), so 10% is
+        # generous; the capacity sets the static output size and hence
+        # the work EVERY downstream block does per step — the earlier
+        # 0.5 default doubled the whole audio-side chain. Pass
+        # ``min_ratio`` explicitly for wide-retune use.
         self.min_ratio = float(min_ratio if min_ratio is not None
-                               else ratio * 0.5)
+                               else ratio * 0.9)
         self.capacity = int(math.ceil(self.block_size / self.min_ratio)) + 1
         if not (0.0 <= phase_shift <= 1.0):
             raise ValueError("phase shift must be in [0, 1]")
         self.phase_shift = float(phase_shift)
         self.taps_table = TAPS_TABLE  # numpy: embedded as literal at trace
+        # gather-free polyphase fast path for rational construction
+        # ratios (see resample_block_rational); exactness-guarded with
+        # a traced fallback, so wide runtime retunes stay correct
+        self.pq = _rational_of(self.ratio0)
+        if self.pq is not None and self.capacity < self.pq[1]:
+            self.pq = None
 
     def init_state(self):
         # Start position HIST + phase_shift: the first output interpolates at
@@ -137,10 +293,17 @@ class FractionalResampler(Block):
             raise ValueError(f"{self.name}: expected block of {self.block_size}, "
                              f"got {x.data.shape[0]}")
         frame = jnp.concatenate([state["tail"], x.data])
-        y, n_out, mu_int, mu_frac = resample_block(
-            frame, state["mu_int"], state["mu_frac"],
-            params["inc_int"], params["inc_frac"], self.capacity,
-            self.taps_table, n_valid=jnp.minimum(x.count, self.block_size))
+        n_valid = jnp.minimum(x.count, self.block_size)
+        if self.pq is not None:
+            y, n_out, mu_int, mu_frac = resample_block_rational(
+                frame, state["mu_int"], state["mu_frac"],
+                params["inc_int"], params["inc_frac"], self.capacity,
+                self.taps_table, self.pq[0], self.pq[1], n_valid=n_valid)
+        else:
+            y, n_out, mu_int, mu_frac = resample_block(
+                frame, state["mu_int"], state["mu_frac"],
+                params["inc_int"], params["inc_frac"], self.capacity,
+                self.taps_table, n_valid=n_valid)
         new_state = dict(tail=frame[-HIST:], mu_int=mu_int, mu_frac=mu_frac)
         out = x.like(y, count=n_out, rate_scale=1.0 / self.ratio0)
         return new_state, (out,)

@@ -17,7 +17,7 @@ from grbaz_tpu.models.wbfm import WBFMConfig, WBFMFrontend, build_wbfm
 from grbaz_tpu.ops.fir import (low_pass_taps, prepare_taps,
                                xlating_fir_decimate_frame)
 from grbaz_tpu.ops.pallas.wbfm_frontend import (
-    demod_unrotated, interleaved_tap_matrix, rotate_output, rotated_taps,
+    demod_unrotated, packed_tap_matrix, rotate_output, rotated_taps,
     supported, xlating_fir_frame_pallas)
 
 FS = 3.2e6
@@ -50,34 +50,33 @@ def test_kernel_matches_xla_rotated_taps(rng):
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-4 * max(scale, 1e-3)
 
 
-def test_interleaved_tap_matrix_structure():
-    """T encodes g into the interleaved polyphase layout exactly:
-    Q = Z @ T must give partial_m(j) = sum_p g[mD+p] x[jD+p]."""
+def test_packed_tap_matrix_structure():
+    """The block-diagonal packed tap matrix reproduces the polyphase
+    partials: (Zr @ T)[r, g*cpm + m] = sum_i g[m*D+i] x[(r*rpr+g)*D+i]."""
     decim, n_phases_pad = 4, 8
-    g = jnp.asarray(np.arange(1, 33, dtype=np.float32)
-                    + 1j * np.arange(101, 133, dtype=np.float32))
-    t_mat = np.asarray(interleaved_tap_matrix(g, decim, n_phases_pad))
-    assert t_mat.shape == (2 * decim, 2 * n_phases_pad)
-    for m in range(n_phases_pad):
-        for p in range(decim):
-            t = m * decim + p
-            gr = float(g[t].real) if t < 32 else 0.0
-            gi = float(g[t].imag) if t < 32 else 0.0
-            assert t_mat[2 * p, 2 * m] == gr        # re*re
-            assert t_mat[2 * p + 1, 2 * m] == -gi   # -im*im
-            assert t_mat[2 * p, 2 * m + 1] == gi    # re*im
-            assert t_mat[2 * p + 1, 2 * m + 1] == gr  # im*re
-    # one full check: complex partial via the real matmul
+    rpr, cpm = 128 // decim, n_phases_pad
+    gp = jnp.asarray(np.arange(1, 33, dtype=np.float32))
+    t_mat = np.asarray(packed_tap_matrix(gp, decim, n_phases_pad))
+    assert t_mat.shape == (128, rpr * cpm)
+    for gi in (0, 5, rpr - 1):
+        for m in range(cpm):
+            for i in range(decim):
+                t = m * decim + i
+                want = float(gp[t]) if t < 32 else 0.0
+                assert t_mat[gi * decim + i, gi * cpm + m] == want
+    # off-diagonal blocks are zero
+    assert t_mat[0 * decim, 3 * cpm] == 0.0
+    # one full check: packed row of rpr polyphase rows -> partials
     rng = np.random.default_rng(0)
-    x = (rng.standard_normal(decim)
-         + 1j * rng.standard_normal(decim)).astype(np.complex64)
-    z = np.empty(2 * decim, np.float32)
-    z[0::2], z[1::2] = x.real, x.imag
-    q = z @ t_mat
-    for m in range(8):
-        want = np.sum(np.asarray(g[m * decim:(m + 1) * decim]) * x)
-        assert abs(q[2 * m] - want.real) < 1e-3
-        assert abs(q[2 * m + 1] - want.imag) < 1e-3
+    x = rng.standard_normal(128).astype(np.float32)
+    q = x @ t_mat
+    for gi in (0, 7):
+        for m in range(cpm):
+            t = np.arange(decim) + m * decim
+            gvals = np.where(t < 32, np.arange(1, 33, dtype=np.float32)[
+                np.clip(t, 0, 31)], 0.0)
+            want = np.sum(gvals * x[gi * decim:(gi + 1) * decim])
+            assert abs(q[gi * cpm + m] - want) < 1e-3
 
 
 def test_demod_unrotated_matches_rotated_demod(rng):
