@@ -248,6 +248,118 @@ class P25VoiceDecoder:
         return frames
 
 
+# ---------------------------------------------------------------------------
+# TIA-102 wire-format LDUs (ops/p25_ldu.py): the standard's 1728-bit
+# frame schedule — status symbols, Golay/Hamming-protected voice
+# codewords, RS+Hamming LC/ES words — replacing the r3 container for
+# over-the-air-shaped captures. The DES-OFB keystream applies to the
+# 9x88 voice info bits (MI-seeded, ALGID 0x81), with the ES carried in
+# LDU2's RS(24,16) word exactly as the standard lays it out.
+# ---------------------------------------------------------------------------
+
+WIRE_LDU_DIBITS = 864
+
+
+def _dibits_from_bits(bits: np.ndarray) -> np.ndarray:
+    b = np.asarray(bits, np.uint8).reshape(-1, 2)
+    return (b[:, 0] << 1 | b[:, 1]).astype(np.uint8)
+
+
+def make_wire_ldu(nac: int, duid: int, voice_info: np.ndarray, *,
+                  mi: int = 0, algid: int = ALGID_CLEAR, kid: int = 0,
+                  key: Optional[int] = None,
+                  lc72: Optional[np.ndarray] = None,
+                  lsd16: Optional[np.ndarray] = None) -> np.ndarray:
+    """Build one wire-format LDU as an 864-dibit array.
+
+    ``voice_info`` is [9, 88] plaintext info bits; with ALGID 0x81 and
+    a key the voice payload is DES-OFB encrypted before the FEC
+    encoders (keystream over the 792 info bits, seeded from ``mi``).
+    """
+    from grbaz_tpu.ops.p25_ldu import build_ldu
+    voice_info = np.asarray(voice_info, np.uint8).reshape(9, 88)
+    if algid == ALGID_DES_OFB:
+        if key is None:
+            raise ValueError("encrypted LDU needs a key")
+        # DES IV = the first 64 of the 72 MI bits (TIA-102 security
+        # services convention)
+        ks = _keystream_bits(key, (mi >> 8) & ((1 << 64) - 1),
+                             voice_info.size)
+        voice_info = (voice_info.reshape(-1) ^ ks).reshape(9, 88)
+    nid = np.zeros(64, np.uint8)
+    nid[:12] = [(nac >> (11 - i)) & 1 for i in range(12)]
+    nid[12:16] = [(duid >> (3 - i)) & 1 for i in range(4)]
+    frame_bits = build_ldu(duid, nid, voice_info, lc72=lc72, mi=mi,
+                           algid=algid, kid=kid, lsd16=lsd16)
+    return _dibits_from_bits(frame_bits)
+
+
+class P25WireVoiceDecoder(P25VoiceDecoder):
+    """Streaming decoder for TIA-102 wire-format LDUs.
+
+    Same feed interface and key management as :class:`P25VoiceDecoder`
+    (dibits + P25FrameSync events in, :class:`VoiceFrame`s out), but
+    the frames on the wire are the standard's 864-dibit schedule —
+    status symbols stripped, voice codewords FEC-decoded
+    (Golay/Hamming + de-whitening), ES recovered through the
+    RS(24,16)+Hamming(10,6) word. Emitted ``VoiceFrame.bits`` are the
+    88 info bits per codeword.
+    """
+
+    def feed(self, dibits: np.ndarray, events: np.ndarray,
+             n_events: Optional[int] = None) -> List[VoiceFrame]:
+        dibits = np.asarray(dibits, np.uint8)
+        self._buf = np.concatenate([self._buf, dibits])
+        ev = np.asarray(events, np.float32)
+        n = int(n_events) if n_events is not None else len(ev)
+        for row in ev[:n]:
+            sym_idx = int(decode_i32(np.float32(row[0])))
+            nac, duid = int(row[1]), int(row[2])
+            if duid in (DUID_LDU1, DUID_LDU2):
+                self._pending.append((sym_idx, nac, duid))
+        out: List[VoiceFrame] = []
+        still = []
+        for sym_idx, nac, duid in self._pending:
+            start = sym_idx - self._base
+            if start < 0:
+                continue
+            if start + WIRE_LDU_DIBITS > len(self._buf):
+                still.append((sym_idx, nac, duid))
+                continue
+            frame = self._buf[start: start + WIRE_LDU_DIBITS]
+            out.extend(self._decode_wire_ldu(frame, nac, duid))
+        self._pending = still
+        keep = WIRE_LDU_DIBITS + 64
+        if len(self._buf) > keep and not self._pending:
+            drop = len(self._buf) - keep
+            self._buf = self._buf[drop:]
+            self._base += drop
+        return out
+
+    def _decode_wire_ldu(self, frame_dibits: np.ndarray, nac: int,
+                         duid: int) -> List[VoiceFrame]:
+        from grbaz_tpu.ops.p25_ldu import parse_ldu
+        bits = _bits_of(frame_dibits)
+        fields = parse_ldu(bits, duid)
+        algid, kid, mi = ALGID_CLEAR, 0, 0
+        if duid == DUID_LDU2 and fields.mi is not None:
+            mi, algid, kid = fields.mi, fields.algid, fields.kid
+        encrypted = algid == ALGID_DES_OFB
+        key = self._key_for(kid) if encrypted else None
+        voice = fields.voice.reshape(-1)
+        dec = False
+        if encrypted and key is not None:
+            ks = _keystream_bits(key, (mi >> 8) & ((1 << 64) - 1),
+                                 voice.size)
+            voice = voice ^ ks
+            dec = True
+        voice = voice.reshape(9, 88)
+        return [VoiceFrame(nac=nac, duid=duid, index=i, bits=voice[i],
+                           algid=algid if encrypted else ALGID_CLEAR,
+                           kid=kid, decrypted=dec)
+                for i in range(9)]
+
+
 def make_ldu(nac: int, duid: int, voice_bits: np.ndarray, *,
              mi: int = 0, algid: int = ALGID_CLEAR, kid: int = 0,
              key: Optional[int] = None, rng=None) -> np.ndarray:
