@@ -168,18 +168,21 @@ class WBFMConfig:
     deemph_tau: float = 75e-6
     block_size: int = 1 << 17
     # rotated-taps channelizer: LO folded into complex taps + decimated
-    # output rotation (ops/fir.xlating_fir_decimate_frame) — same output,
-    # O(N/decim) instead of O(N) transcendentals. Measured equal to the
-    # rotate-then-filter path on v5e (the chain is HBM-bound, not
-    # VPU-bound), so the simpler path stays the default.
+    # output rotation (ops/fir.xlating_fir_decimate_frame) — same
+    # output, O(N/decim) instead of O(N) transcendentals. Honest A/B on
+    # v5e (r4, DCE-proof fence): rotate-then-filter 1637 Msamp/s chain
+    # vs 1220 with rotated taps — the complex-tap path's 4 matmuls cost
+    # more than the full-rate oscillator saves, so False stays default.
     rotate_taps: bool = False
-    # fused front end: channelizer + squelch + FM discriminator as ONE
-    # Pallas kernel (VMEM-resident intermediates) on TPU, the XLA
-    # rotated-taps path elsewhere. Default False: honest fetch-forced
-    # timing on v5e (r3) measured the banded Pallas kernel at 14.7
-    # ms/block vs 0.82 ms for the XLA polyphase path — the earlier
-    # apparent parity was a remote-relay ack artifact. The kernel stays
-    # available for rework (tests cover it in interpret + real mode).
+    # fused front end: channelizer + squelch + FM discriminator with
+    # the Pallas kernel on TPU, the XLA rotated-taps path elsewhere.
+    # Default False: the r4 plane-separated kernel rewrite took the
+    # measured cost from 14.3 ms to 0.70 ms per 1M block (the old
+    # versions were dominated by a hidden complex64<->interleaved-f32
+    # bitcast that lowers to full-length scatters), but the plain XLA
+    # rotate-then-filter channelizer still wins at ~0.40 ms — see
+    # ops/pallas/wbfm_frontend.py's layout notes. The kernel stays
+    # available (tests cover interpret + real mode).
     fused: bool = False
     # Mosaic matmul decomposition for the fused kernel: 'high' now
     # aliases lax.Precision.HIGHEST on the Pallas path (full f32-quality

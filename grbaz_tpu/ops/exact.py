@@ -119,9 +119,26 @@ def fixed_positions(n: int, mu_frac0: jax.Array, inc_int: jax.Array,
     most one wrap can occur per step (inc_frac < 2^32).
     """
     k = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
-    frac = mu_frac0.astype(jnp.uint32) + k * inc_frac.astype(jnp.uint32)
-    wrap = (frac[1:] < frac[:-1]).astype(jnp.int32)
-    carries = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(wrap)])
+    mu0 = mu_frac0.astype(jnp.uint32)
+    incf = inc_frac.astype(jnp.uint32)
+    frac = mu0 + k * incf
+    if n <= (1 << 16):
+        # closed-form carries: carries_k = (mu0 + k*inc_frac) >> 32,
+        # computed with 16-bit limb splits so every product fits in
+        # uint32 (k < 2^16). Exact — and removes the 1-D cumsum, which
+        # lowers to lane-strided log-depth passes on TPU.
+        hi = incf >> jnp.uint32(16)
+        lo = incf & jnp.uint32(0xFFFF)
+        s = k * hi                      # < 2^30
+        t_low = k * lo + mu0            # mod 2^32
+        t_carry = (t_low < mu0).astype(jnp.uint32)
+        l2 = (s << jnp.uint32(16)) + t_low     # mod 2^32
+        c2 = (l2 < t_low).astype(jnp.uint32)
+        carries = ((s >> jnp.uint32(16)) + t_carry + c2).astype(jnp.int32)
+    else:
+        wrap = (frac[1:] < frac[:-1]).astype(jnp.int32)
+        carries = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(wrap)])
     idx = k.astype(jnp.int32) * inc_int.astype(jnp.int32) + carries
     return idx, frac
 

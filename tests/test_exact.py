@@ -80,3 +80,32 @@ def test_phase_bin_rounding():
     assert b[1] == 64
     assert b[2] == 128          # top of range rounds to the next-sample bin
     assert b[3] == 0 and b[4] == 1  # rounding boundary at half a step
+
+
+def test_fixed_positions_closed_form_carries():
+    """The limb-split closed-form carries equal big-int ground truth
+    for adversarial mu/inc values (and the >2^16 cumsum path agrees)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grbaz_tpu.ops import exact
+
+    rng = np.random.default_rng(0)
+    cases = [(0, 0, 5), (0xFFFFFFFF, 0xFFFFFFFF, 1000),
+             (0x80000000, 0x55555555, 4096),
+             (1, 0xFFFFFFFE, 65536)]
+    for _ in range(6):
+        cases.append((int(rng.integers(0, 2**32)),
+                      int(rng.integers(0, 2**32)),
+                      int(rng.integers(2, 3000))))
+    for mu0, incf, n in cases:
+        inci = int(rng.integers(0, 50))
+        idx, frac = exact.fixed_positions(n, jnp.uint32(mu0),
+                                          jnp.int32(inci),
+                                          jnp.uint32(incf))
+        idx = np.asarray(idx)
+        frac = np.asarray(frac)
+        for k in (0, 1, n // 2, n - 1):
+            total = mu0 + k * incf
+            assert int(frac[k]) == total % (2**32)
+            assert int(idx[k]) == k * inci + (total >> 32), \
+                f"mu0={mu0:#x} incf={incf:#x} k={k}"
