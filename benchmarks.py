@@ -133,8 +133,11 @@ def _time_steps(jax, step, states, params, ins, reps=256, trials=3):
 
 
 def _mk_stream(jnp, x, rate):
+    """HOST-side Stream: data/count/meta stay numpy so jit embeds them
+    as literals. Closing over DEVICE arrays makes tracing read them
+    back through the relay (mlir.ir_constant) -> UNIMPLEMENTED."""
     from grbaz_tpu.core.stream import Stream, StreamMeta
-    return Stream(data=x, count=jnp.int32(x.shape[0]),
+    return Stream(data=x, count=np.int32(x.shape[0]),
                   meta=StreamMeta.start(rate))
 
 
@@ -156,12 +159,12 @@ def bench_resampler_agc():
 
     @jax.jit
     def init():
-        states = jax.tree_util.tree_map(jnp.asarray, fg.init_states())
-        t = jnp.arange(BLOCK, dtype=jnp.float32)
-        x = jnp.exp(1j * 0.01 * t).astype(jnp.complex64)
-        return states, {"iq": _mk_stream(jnp, x, 250e3)}
+        return jax.tree_util.tree_map(jnp.asarray, fg.init_states())
 
-    states, ins = init()
+    t = np.arange(BLOCK, dtype=np.float32)
+    x = np.exp(1j * 0.01 * t).astype(np.complex64)
+    ins = {"iq": _mk_stream(jnp, x, 250e3)}
+    states = init()
     dt = _time_steps(jax, step, states, params, ins)
     return dict(metric="resampler_agc_throughput", value=BLOCK / dt / 1e6,
                 unit="Msamp/s")
@@ -179,13 +182,13 @@ def bench_wbfm():
 
     @jax.jit
     def init():
-        states = jax.tree_util.tree_map(jnp.asarray, fg.init_states())
-        t = jnp.arange(BLOCK, dtype=jnp.float32)
-        x = jnp.exp(1j * (2 * jnp.pi * 10e3 / cfg.sample_rate) * t) \
-            .astype(jnp.complex64)
-        return states, {"iq": _mk_stream(jnp, x, cfg.sample_rate)}
+        return jax.tree_util.tree_map(jnp.asarray, fg.init_states())
 
-    states, ins = init()
+    t = np.arange(BLOCK, dtype=np.float32)
+    x = np.exp(1j * (2 * np.pi * 10e3 / cfg.sample_rate) * t) \
+        .astype(np.complex64)
+    ins = {"iq": _mk_stream(jnp, x, cfg.sample_rate)}
+    states = init()
     dt = _time_steps(jax, step, states, params, ins, reps=256)
     return dict(metric="wbfm_chain_throughput", value=BLOCK / dt / 1e6,
                 unit="Msamp/s")
@@ -203,12 +206,12 @@ def bench_spectral():
 
     @jax.jit
     def init():
-        states = jax.tree_util.tree_map(jnp.asarray, fg.init_states())
-        t = jnp.arange(BLOCK, dtype=jnp.float32)
-        x = (jnp.exp(1j * 0.1 * t) + 0.1).astype(jnp.complex64)
-        return states, {"iq": _mk_stream(jnp, x, 250e3)}
+        return jax.tree_util.tree_map(jnp.asarray, fg.init_states())
 
-    states, ins = init()
+    t = np.arange(BLOCK, dtype=np.float32)
+    x = (np.exp(1j * 0.1 * t) + 0.1).astype(np.complex64)
+    ins = {"iq": _mk_stream(jnp, x, 250e3)}
+    states = init()
     dt = _time_steps(jax, step, states, params, ins)
     return dict(metric="spectral_throughput", value=BLOCK / dt / 1e6,
                 unit="Msamp/s")
@@ -276,13 +279,13 @@ def bench_bank():
         bank.add_channel(params, f)
     @jax.jit
     def init():
-        state = jax.tree_util.tree_map(jnp.asarray, bank.init_state())
-        t = jnp.arange(block, dtype=jnp.float32)
-        x = jnp.exp(1j * 0.001 * t).astype(jnp.complex64)
-        return state, Stream(data=x, count=jnp.int32(block),
-                             meta=StreamMeta.start(3.2e6))
+        return jax.tree_util.tree_map(jnp.asarray, bank.init_state())
 
-    state, s = init()
+    t = np.arange(block, dtype=np.float32)
+    x = np.exp(1j * 0.001 * t).astype(np.complex64)
+    s = Stream(data=x, count=np.int32(block),
+               meta=StreamMeta.start(3.2e6))
+    state = init()
     # honest scan + fence timing with RTT subtraction (r3 methodology +
     # advisor r3, see _time_steps)
     REPS = 128
@@ -367,7 +370,8 @@ def bench_decoders():
         if which and name != which:
             continue
         meta = StreamMeta.start(1e6)
-        ins = [Stream(jnp.asarray(a), jnp.int32(n), meta) for a in inputs]
+        # numpy Streams: device-array closures are a readback trap
+        ins = [Stream(a, np.int32(n), meta) for a in inputs]
         params = blk.init_params()
 
         def step(states, _params, _ins, blk=blk, ins=ins):
@@ -638,10 +642,19 @@ def bench_ingest():
     pump.start()
     th = threading.Thread(target=blast, daemon=True)
     th.start()
-    time.sleep(2.0)                       # warmup + compile
+    # warmup: the first chain compile through the remote relay takes
+    # minutes — wait until the pump has actually pushed blocks through
+    # before opening the measurement window
+    deadline = time.time() + float(os.environ.get("GRBAZ_INGEST_WARMUP",
+                                                  "900"))
+    while time.time() < deadline:
+        st = pump.stats() if hasattr(pump, "stats") else {}
+        if st.get("blocks_out", 0) >= 3:
+            break
+        time.sleep(1.0)
     c0 = consumed[0]
     t0 = time.time()
-    time.sleep(float(os.environ.get("GRBAZ_INGEST_SECONDS", "8")))
+    time.sleep(float(os.environ.get("GRBAZ_INGEST_SECONDS", "10")))
     dc = consumed[0] - c0
     dt = time.time() - t0
     stop.set()

@@ -245,28 +245,82 @@ class RadarDetector(Block):
 
     def apply(self, state, params, x: Stream):
         thr = params["base_level"] * params["threshold"]
+        # Block-vectorized formulation (no per-sample lax.scan — the
+        # scan form measured 0.125 Msamp/s on v5e, below single-channel
+        # radar video rates): threshold edges -> burst segment ids ->
+        # segmented sum via cumsum differences (triangular-matmul
+        # cumsum, ops.iir) and segmented max via a [MAX_EVENTS, n]
+        # masked reduction. Emission semantics identical to the serial
+        # loop: a report fires at the first below-threshold sample with
+        # (start_idx, length, max, sum) accumulated over [start, end).
+        from grbaz_tpu.ops.iir import onepole_scan
+        xd = x.data.astype(jnp.float32)
+        n = xd.shape[0]
+        cap = self.MAX_EVENTS
+        above = xd >= thr
+        prev_above = jnp.concatenate([state["in_burst"][None], above[:-1]])
+        starts_e = above & ~prev_above
+        ends_e = ~above & prev_above
+        idx = jnp.arange(n, dtype=jnp.int32)
+        gidx = state["global_idx"] + idx
 
-        def step(s, xi):
-            above = xi >= thr
-            start = above & ~s["in_burst"]
-            ending = ~above & s["in_burst"]
-            bsum = jnp.where(start, xi,
-                             jnp.where(above, s["bsum"] + xi, s["bsum"]))
-            bmax = jnp.where(start, xi,
-                             jnp.where(above, jnp.maximum(s["bmax"], xi),
-                                       s["bmax"]))
-            bstart = jnp.where(start, s["global_idx"], s["start"])
-            emit = ending
-            length = s["global_idx"] - bstart
-            new = dict(in_burst=jnp.where(ending, False,
-                                          jnp.where(start, True,
-                                                    s["in_burst"])),
-                       start=bstart, bsum=bsum, bmax=bmax,
-                       global_idx=s["global_idx"] + 1)
-            return new, (emit, bstart, length, s["bmax"], s["bsum"])
+        # segment id: 0 = the burst carried into this block (if any),
+        # new bursts count up from there
+        seg = jnp.cumsum(starts_e.astype(jnp.int32)) \
+            + state["in_burst"].astype(jnp.int32) - 1  # -1 when idle
+        # per-burst start positions (global), gathered to samples
+        start_pos_local = jnp.zeros((cap,), jnp.int32).at[
+            jnp.where(starts_e, jnp.clip(seg, 0, cap - 1), cap - 1)
+        ].add(jnp.where(starts_e, gidx, 0))
+        start_pos_local = start_pos_local.at[0].add(
+            jnp.where(state["in_burst"], state["start"], 0))
+        # cumsum of in-burst power (exact running totals via matmuls)
+        csum = onepole_scan(jnp.where(above, xd, 0.0), 1.0, 0.0)
+        csum0 = jnp.concatenate([jnp.zeros((1,), jnp.float32), csum[:-1]])
+        # per-burst masked max over this block's span
+        segc = jnp.clip(seg, 0, cap - 1)
+        eidx = jnp.arange(cap, dtype=jnp.int32)
+        in_seg = (segc[None, :] == eidx[:, None]) & above[None, :]
+        bmax_block = jnp.max(jnp.where(in_seg, xd[None, :],
+                                       jnp.float32(-np.inf)), axis=1)
+        # csum at each burst's first sample (exclusive prefix)
+        bsum_start = jnp.zeros((cap,), jnp.float32).at[
+            jnp.where(starts_e, jnp.clip(seg, 0, cap - 1), cap - 1)
+        ].add(jnp.where(starts_e, csum0, 0.0))
+        carry_sum0 = jnp.where(state["in_burst"], state["bsum"], 0.0)
+        carry_max0 = jnp.where(state["in_burst"], state["bmax"],
+                               jnp.float32(-np.inf))
 
-        new_state, (emits, starts, lens, maxs, sums) = jax.lax.scan(
-            step, state, x.data.astype(jnp.float32))
+        # rows at END positions: burst k's accumulation through its
+        # last above-threshold sample
+        seg_at_end = jnp.clip(seg, 0, cap - 1)  # seg still = burst id at end
+        bsum_at = csum0 - bsum_start[seg_at_end] \
+            + jnp.where(seg == 0, carry_sum0, 0.0)
+        bmax_at = jnp.maximum(bmax_block[seg_at_end],
+                              jnp.where(seg == 0, carry_max0,
+                                        jnp.float32(-np.inf)))
+        bstart_at = start_pos_local[seg_at_end]
+        emits = ends_e & (seg >= 0)
+        starts = bstart_at
+        lens = gidx - bstart_at
+        maxs = bmax_at
+        sums = bsum_at
+
+        # carried state: open burst at block end
+        last_seg = seg[-1]
+        still_open = above[-1]
+        open_start = start_pos_local[jnp.clip(last_seg, 0, cap - 1)]
+        open_sum = csum[-1] - bsum_start[jnp.clip(last_seg, 0, cap - 1)] \
+            + jnp.where(last_seg == 0, carry_sum0, 0.0)
+        open_max = jnp.maximum(
+            bmax_block[jnp.clip(last_seg, 0, cap - 1)],
+            jnp.where(last_seg == 0, carry_max0, jnp.float32(-np.inf)))
+        new_state = dict(
+            in_burst=still_open,
+            start=jnp.where(still_open, open_start, jnp.int32(0)),
+            bsum=jnp.where(still_open, open_sum, jnp.float32(0.0)),
+            bmax=jnp.where(still_open, open_max, jnp.float32(0.0)),
+            global_idx=state["global_idx"] + jnp.int32(n))
         # compact events to the front; the absolute start index rides
         # BITCAST int32 (exact — f32 conversion quantizes past 2^24,
         # ~5 s at 3.2 Msamp/s; decode with stream.decode_i32 or
