@@ -191,6 +191,16 @@ REGISTRY: Dict[str, Tuple[str, str, str]] = {
                "python/baz_op25.py"),
     "op25_traffic": ("Applications/P25", "grbaz_tpu.viz.traffic:TrafficPane",
                      "python/op25_traffic_pane.py"),
+    "p25_voice": ("Applications/P25",
+                  "grbaz_tpu.models.p25_voice:P25VoiceDecoder",
+                  "python/baz_op25.py DES key glue"),
+    "p25_wire_voice": ("Applications/P25",
+                       "grbaz_tpu.models.p25_voice:P25WireVoiceDecoder",
+                       "python/baz_op25.py + op25 OOT LDU framing role"),
+    "p25_ldu": ("Applications/P25", "grbaz_tpu.ops.p25_ldu:build_ldu",
+                "op25 OOT TIA-102 frame schedule role"),
+    "p25_fec": ("Applications/P25", "grbaz_tpu.ops.p25_fec:golay23_encode",
+                "op25 OOT Golay/Hamming/RS role"),
     "fastrak_decoder": ("Applications/FasTrak",
                         "grbaz_tpu.ops.misc:FastrakDecoder",
                         "lib/baz_fastrak_decoder.cc"),
