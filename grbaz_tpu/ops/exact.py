@@ -90,6 +90,13 @@ def oscillator(n: int, phase0: jax.Array, inc: jax.Array,
     """Complex exponential block exp(+/- j*2pi*phase), plus next phase0.
 
     Returns ``(lo[n] complex64, phase_after uint32)``.
+
+    Note (r4, measured): a stride-16 outer-product factorization that
+    cuts the trig count 16x made the WBFM chain 36% SLOWER on v5e
+    (1044 vs 1637 Msamp/s) — the direct per-sample cos/sin fuses into
+    the consuming multiply, while the factored form materializes the
+    [N/16, 16] complex intermediate. Transcendental COUNT is not the
+    cost; fusion is. Keep the direct form.
     """
     ph = phase_ramp_u32(n, phase0, inc)
     ang = turns_u32_to_radians(ph)

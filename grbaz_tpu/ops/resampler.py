@@ -90,7 +90,7 @@ def resample_block(frame: jax.Array, mu_int: jax.Array, mu_frac: jax.Array,
     return y, n_out, new_mu_int, new_mu_frac
 
 
-def _rational_of(ratio: float, max_den: int = 16):
+def _rational_of(ratio: float, max_den: int = 64):
     """(p, q) with ratio ~= p/q, q <= max_den, or None.
 
     The fast path additionally needs p >= _RW (window fits one
@@ -188,10 +188,19 @@ def resample_block_rational(frame: jax.Array, mu_int: jax.Array,
 
     combo = (jnp.asarray(u_k) * 9 + (db + 1) * 3 + (d + 1))
     combo = jnp.clip(combo, 0, n_rows - 1)
-    onehot = (combo[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)
-    taps_eff = jnp.dot(onehot, rows,
-                       precision=jax.lax.Precision.HIGHEST)  # [cap, _RW]
+    if n_rows <= 32:
+        # small candidate set: one-hot matmul keeps everything dense
+        onehot = (combo[:, None]
+                  == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+        taps_eff = jnp.dot(onehot, rows,
+                           precision=jax.lax.Precision.HIGHEST)
+    else:
+        # large q (e.g. 125/24): the one-hot operand would be
+        # cap x 9q floats — a [cap]-row gather from the tiny candidate
+        # table is far cheaper than the elementwise window gather this
+        # path replaces
+        taps_eff = rows[combo]  # [cap, _RW]
 
     # windows via q strided reshapes of the (+1 front-padded) frame
     need = _MU_SLACK + int(np.max(s_k[:q])) + nj * p + _RW

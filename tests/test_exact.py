@@ -109,3 +109,25 @@ def test_fixed_positions_closed_form_carries():
             assert int(frac[k]) == total % (2**32)
             assert int(idx[k]) == k * inci + (total >> 32), \
                 f"mu0={mu0:#x} incf={incf:#x} k={k}"
+
+
+def test_oscillator_chunked_matches_direct():
+    """The outer-product LO equals the per-sample cos/sin form to ~ulp,
+    for adversarial phases (wraps land inside chunks)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from grbaz_tpu.ops import exact
+
+    for phase0, inc, n in [(0, 123456789, 4096),
+                           (0xFFFFFF00, 0x80000001, 2048),
+                           (0x12345678, 0xFFFFFFFF, 1024),
+                           (7, 1, 64)]:
+        lo, pa = exact.oscillator(n, jnp.uint32(phase0), jnp.uint32(inc))
+        # direct reference
+        k = np.arange(n, dtype=np.uint64)
+        ph = (phase0 + k * inc) % (2 ** 32)
+        ang = ph.astype(np.float64) * (2 * np.pi / 2 ** 32)
+        ref = np.exp(1j * ang)
+        np.testing.assert_allclose(np.asarray(lo), ref, atol=5e-6)
+        assert int(pa) == (phase0 + n * inc) % (2 ** 32)
+        assert float(np.max(np.abs(np.abs(np.asarray(lo)) - 1.0))) < 1e-5

@@ -50,6 +50,8 @@ def run_both(ratio, p, q, n=4096, mu_int=HIST, mu_frac=0, cap=None,
     (10.0, 10, 1),               # integer decimation
     (32000 / 3000, 32, 3),
     (11.5, 23, 2),
+    (250e3 / 48e3, 125, 24),     # BASELINE config 1 (row-gather taps)
+    (653 / 61, 653, 61),         # large-q boundary
 ])
 @pytest.mark.parametrize("mu_frac", [0, 0x40000000, 0xFFFFFFF0])
 def test_value_parity(ratio, p, q, mu_frac):
@@ -118,6 +120,7 @@ def test_streaming_block_chain_matches_generic():
 
 def test_non_rational_ratio_uses_generic():
     assert _rational_of(np.pi) is None        # irrational
+    assert _rational_of(250e3 / 48e3) == (125, 24)
     assert _rational_of(1.5) is None          # p < window width
     rs = FractionalResampler(1024, np.pi, dtype=jnp.float32)
     assert rs.pq is None
