@@ -194,6 +194,13 @@ class WBFMConfig:
     # TPU), 'pallas', or 'xla' (rotated-taps polyphase — the fastest
     # measured path on v5e under honest fetch-forced timing, r3).
     fused_backend: str = "auto"
+    # channel-FIR matmul decomposition: 'default' = 1-pass bf16 — the
+    # RTL source is an 8-bit ADC (~50 dB floor) and the bf16 filter
+    # holds ~54 dB SNR, so full-f32 passes buy nothing the source can
+    # deliver; measured +10% chain throughput on v5e (1791 vs 1630
+    # Msamp/s). 'highest' restores full f32-quality contraction
+    # (bit-parity with the serial golden mirrors).
+    chan_precision: str = "default"
 
 
 def build_wbfm(cfg: WBFMConfig):
@@ -228,7 +235,7 @@ def build_wbfm(cfg: WBFMConfig):
         low_pass_taps(1.0, fs, cfg.channel_width / 2 + cfg.transition / 2,
                       cfg.transition),
         decim, cfg.center_freq, fs, name="channel",
-        rotate_taps=cfg.rotate_taps)
+        rotate_taps=cfg.rotate_taps, precision=cfg.chan_precision)
     demod = QuadratureDemod(quad / (2 * np.pi * cfg.max_deviation))
     resamp = FractionalResampler(cfg.block_size // decim, quad / cfg.audio_rate,
                                  dtype=jnp.float32, name="resampler")
