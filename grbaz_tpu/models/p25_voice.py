@@ -286,9 +286,14 @@ def make_wire_ldu(nac: int, duid: int, voice_info: np.ndarray, *,
         ks = _keystream_bits(key, (mi >> 8) & ((1 << 64) - 1),
                              voice_info.size)
         voice_info = (voice_info.reshape(-1) ^ ks).reshape(9, 88)
-    nid = np.zeros(64, np.uint8)
-    nid[:12] = [(nac >> (11 - i)) & 1 for i in range(12)]
-    nid[12:16] = [(duid >> (3 - i)) & 1 for i in range(4)]
+    # NID with real (63,16) BCH parity (a conformant receiver checks it;
+    # previously the parity region was zeroed). The remaining known
+    # interop caveat is the intra-codeword interleave — see the
+    # ops/p25_ldu.py module docstring.
+    from grbaz_tpu.ops.p25_fec import bch_6416_encode
+    info16 = np.array([(nac >> (11 - i)) & 1 for i in range(12)]
+                      + [(duid >> (3 - i)) & 1 for i in range(4)], np.uint8)
+    nid = bch_6416_encode(info16)
     frame_bits = build_ldu(duid, nid, voice_info, lc72=lc72, mi=mi,
                            algid=algid, kid=kid, lsd16=lsd16)
     return _dibits_from_bits(frame_bits)

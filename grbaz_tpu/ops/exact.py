@@ -136,7 +136,7 @@ def fixed_positions(n: int, mu_frac0: jax.Array, inc_int: jax.Array,
         # lowers to lane-strided log-depth passes on TPU.
         hi = incf >> jnp.uint32(16)
         lo = incf & jnp.uint32(0xFFFF)
-        s = k * hi                      # < 2^30
+        s = k * hi                      # < 2^32 (fits uint32; k, hi < 2^16)
         t_low = k * lo + mu0            # mod 2^32
         t_carry = (t_low < mu0).astype(jnp.uint32)
         l2 = (s << jnp.uint32(16)) + t_low     # mod 2^32

@@ -330,3 +330,73 @@ def lsd16_encode(info: np.ndarray) -> np.ndarray:
 def lsd16_check(code: np.ndarray) -> bool:
     cw = _bits_to_int(code)
     return _poly_mod_bits((cw >> 8) << 8, _LSD_G, 8) == (cw & 0xFF)
+
+
+# ---------------------------------------------------------------------------
+# (63,16,23) BCH — the NID (NAC + DUID) protection
+#
+# Derived from first principles rather than a quoted constant: the
+# narrow-sense binary BCH code of length 63 and designed distance 23
+# (t=11) over GF(2^6) with the same primitive polynomial x^6+x+1 the
+# RS section uses. g(x) = lcm of the minimal polynomials of
+# alpha^1..alpha^22; degree 47. The on-air NID is this codeword plus a
+# trailing 64th bit (transmitted 0 here, ignored on receive).
+# ---------------------------------------------------------------------------
+
+
+def _bch_nid_generator() -> int:
+    """Compute the (63,16) BCH generator polynomial (bit i = x^i)."""
+    covered = set()
+    g = 1
+    for b in range(1, 23):
+        if b in covered:
+            continue
+        coset = []
+        e = b
+        while e not in coset:
+            coset.append(e)
+            e = (2 * e) % 63
+        covered.update(coset)
+        # minimal polynomial of alpha^b: prod (x + alpha^e) over the coset
+        m = [1]
+        for e in coset:
+            root = int(_GF_EXP[e % 63])
+            nm = [0] * (len(m) + 1)
+            for j, c in enumerate(m):
+                nm[j + 1] ^= c
+                nm[j] ^= gf_mul(c, root)
+            m = nm
+        mi = 0
+        for j, c in enumerate(m):
+            assert c in (0, 1), "minimal polynomial must be binary"
+            mi |= c << j
+        ng = 0
+        t, sh = mi, 0
+        while t:
+            if t & 1:
+                ng ^= g << sh
+            t >>= 1
+            sh += 1
+        g = ng
+    assert g.bit_length() - 1 == 47
+    return g
+
+
+_BCH_NID_G = _bch_nid_generator()
+
+
+def bch_6416_encode(info16: np.ndarray) -> np.ndarray:
+    """16 NID info bits (NAC12 | DUID4) -> 64-bit on-air NID:
+    systematic [info16 | parity47 | 0]."""
+    d = _bits_to_int(info16)
+    parity = _poly_mod_bits(d << 47, _BCH_NID_G, 16)
+    return np.concatenate([_int_to_bits(d, 16), _int_to_bits(parity, 47),
+                           np.zeros(1, np.uint8)])
+
+
+def bch_6416_check(code64: np.ndarray) -> bool:
+    """True when the first 63 bits form a valid (63,16) BCH codeword
+    (the trailing 64th bit is not checked)."""
+    cw = _bits_to_int(np.asarray(code64, np.uint8)[:63])
+    return _poly_mod_bits((cw >> 47) << 47, _BCH_NID_G, 16) \
+        == (cw & ((1 << 47) - 1))

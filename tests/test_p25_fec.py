@@ -107,3 +107,43 @@ def test_lsd16():
     bad = cw.copy()
     bad[5] ^= 1
     assert not lsd16_check(bad)
+
+
+def test_bch_nid():
+    from grbaz_tpu.ops.p25_fec import (_BCH_NID_G, bch_6416_check,
+                                       bch_6416_encode)
+    # degree-47 generator derived from cyclotomic cosets
+    assert _BCH_NID_G.bit_length() - 1 == 47
+    rng = np.random.default_rng(7)
+    info = (rng.random(16) < 0.5).astype(np.uint8)
+    cw = bch_6416_encode(info)
+    assert cw.shape == (64,)
+    assert np.array_equal(cw[:16], info)  # systematic
+    assert bch_6416_check(cw)
+    # cyclic: shifts of the 63-bit word remain codewords
+    for s in (1, 17, 44):
+        assert bch_6416_check(np.concatenate([np.roll(cw[:63], s), [0]]))
+    # any single-bit flip inside the 63-bit word is detected
+    for p in (0, 15, 16, 62):
+        bad = cw.copy()
+        bad[p] ^= 1
+        assert not bch_6416_check(bad)
+    # designed distance: every single-info-bit codeword has weight >= 23
+    for i in range(16):
+        e = np.zeros(16, np.uint8)
+        e[i] = 1
+        assert int(bch_6416_encode(e)[:63].sum()) >= 23
+
+
+def test_wire_ldu_nid_parity():
+    """make_wire_ldu now emits a BCH-valid NID (advisor r4)."""
+    from grbaz_tpu.models.p25_voice import make_wire_ldu
+    from grbaz_tpu.ops.p25_fec import bch_6416_check
+    from grbaz_tpu.ops.p25_ldu import FS_BITS, NID_BITS, strip_status
+    rng = np.random.default_rng(11)
+    voice = (rng.random((9, 88)) < 0.5).astype(np.uint8)
+    dibits = make_wire_ldu(0x293, 0x5, voice)
+    bits = np.stack([(dibits >> 1) & 1, dibits & 1], axis=1).reshape(-1)
+    payload, _status = strip_status(bits.astype(np.uint8))
+    nid = payload[FS_BITS:FS_BITS + NID_BITS]
+    assert bch_6416_check(nid)
