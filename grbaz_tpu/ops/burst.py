@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from grbaz_tpu.core.block import Block
 from grbaz_tpu.core.stream import (Stream, StreamMeta, bits_to_f32,
-                                   decode_abs_index, f32_to_bits, limbs_add,
+                                   decode_abs_index, f32_to_bits,
                                    limbs_add_i32)
 
 
@@ -106,6 +106,20 @@ class Gate(Block):
       1. burst events [cap, 4]: (start_abs_hi, start_abs_lo, length,
          trigger_peak) — start includes ``delay`` samples, the tx_time
          stamp for retransmission.
+
+    Block-parallel since r5 (the per-sample ``lax.scan`` FSM measured
+    0.10 Msamp/s on v5e — this block sits in the full-IQ-rate burst
+    extraction path, SURVEY §3.3). The retriggerable gate is a
+    running-max rule: a sample is in a burst iff the most recent
+    trigger is less than ``trigger_length`` samples old — exact and
+    capacity-free via ``lax.cummax`` + segmented reductions
+    (ops/segments.py). The non-retriggerable variant jumps between
+    trigger edges with a ``MAX_BURSTS``-step event-level scan (exact up
+    to MAX_BURSTS bursts per block — the event output's capacity
+    anyway). Both are property-tested against the per-sample serial
+    mirror (``_apply_scan``) in tests/test_burst.py, including bursts
+    spanning block boundaries (whose start stamps the scan version
+    mis-based before r5).
     """
 
     n_in = 2
@@ -132,11 +146,145 @@ class Gate(Block):
         return dict(threshold=np.float32(self.threshold0),
                     trigger_length=np.int32(max(self.trigger_length, 1)))
 
-    def apply(self, state, params, x: Stream, trig: Stream):
+    def _fire(self, params, trig: Stream):
         if self.byte_trigger:
-            fire = trig.data.astype(jnp.int32) != 0
+            return trig.data.astype(jnp.int32) != 0
+        return trig.data.astype(jnp.float32) > params["threshold"]
+
+    def apply(self, state, params, x: Stream, trig: Stream):
+        from grbaz_tpu.ops.segments import (NO_POS, next_true_index,
+                                            running_last_true,
+                                            seg_prefix_max)
+        fire = self._fire(params, trig)
+        tl = params["trigger_length"]
+        n = x.data.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        lvl = trig.data.astype(jnp.float32)
+        neg_inf = jnp.float32(-np.inf)
+
+        if self.retriggerable:
+            # in_burst[i] <=> most recent fire at or before i is younger
+            # than trigger_length; the carried open_count is a virtual
+            # fire at rel index open_count - tl - 1
+            seed_fire = state["open_count"] - tl - 1
+            last_fire = running_last_true(fire, idx, seed_fire)
+            in_burst = (idx - last_fire) < tl
+            prev_ib = jnp.concatenate([state["in_burst"][None],
+                                       in_burst[:-1]])
+            opening = fire & ~prev_ib
+            closing = prev_ib & ~in_burst
+            # burst start: most recent opening (carried start when the
+            # open burst began in an earlier block — may be negative)
+            seed_start = jnp.where(state["in_burst"],
+                                   state["burst_start_rel"],
+                                   jnp.int32(NO_POS))
+            starts = running_last_true(opening, idx, seed_start)
+            # trigger peak over the burst's fire samples
+            pref = seg_prefix_max(opening, jnp.where(fire, lvl, neg_inf))
+            before_first = jnp.cumsum(opening.astype(jnp.int32)) == 0
+            carry_pk = jnp.where(state["in_burst"], state["peak"], neg_inf)
+            pref = jnp.where(before_first, jnp.maximum(pref, carry_pk), pref)
+            peaks = jnp.concatenate([carry_pk[None], pref[:-1]])
+            lengths = idx - starts
+            gate_open = in_burst | prev_ib
+            emits = closing
+            ev_starts, ev_lens, ev_peaks = starts, lengths, peaks
+            end_ib = in_burst[-1]
+            new_oc = jnp.maximum(last_fire[-1] + tl - (n - 1), 0)
+            end_start = starts[-1]
+            end_peak = pref[-1]
         else:
-            fire = trig.data.astype(jnp.float32) > params["threshold"]
+            # fixed-length bursts; fires during a burst (and at its
+            # closing sample) are swallowed. Event-level scan: jump
+            # from each burst's close to the next fire after it.
+            nf = next_true_index(fire, fill=n)
+            oc0 = jnp.where(state["in_burst"], state["open_count"],
+                            jnp.int32(0))
+            carry_close = oc0 - 1          # closing sample of carried burst
+            pos0 = jnp.where(state["in_burst"],
+                             jnp.minimum(carry_close + 1, n), jnp.int32(0))
+
+            def step(pos, _):
+                o = nf[jnp.clip(pos, 0, n - 1)]
+                o = jnp.where(pos >= n, n, o)
+                return jnp.minimum(o + tl + 1, n), o
+
+            _, opens = jax.lax.scan(step, pos0, None,
+                                    length=self.MAX_BURSTS)
+            valid = opens < n
+            closes = opens + tl            # closing sample index
+            span = (idx[None, :] >= opens[:, None]) \
+                & (idx[None, :] < closes[:, None]) & valid[:, None]
+            pk_rows = jnp.max(jnp.where(span & fire[None, :],
+                                        lvl[None, :], neg_inf), axis=1)
+            # burst-open mask via edge differencing
+            delta = jnp.zeros((n + 1,), jnp.int32)
+            delta = delta.at[jnp.where(valid, opens, n)].add(
+                valid.astype(jnp.int32))
+            delta = delta.at[jnp.clip(closes, 0, n)].add(
+                -valid.astype(jnp.int32))
+            in_new = jnp.cumsum(delta[:-1]) > 0
+            in_carry = (idx <= carry_close - 1) & state["in_burst"]
+            in_burst = in_new | in_carry
+            prev_ib = jnp.concatenate([state["in_burst"][None],
+                                       in_burst[:-1]])
+            gate_open = in_burst | prev_ib
+            # events: carried burst first, then the new bursts
+            carry_fire_pk = jnp.max(
+                jnp.where(fire & (idx <= carry_close - 1), lvl, neg_inf))
+            carry_pk = jnp.maximum(
+                jnp.where(state["in_burst"], state["peak"], neg_inf),
+                carry_fire_pk)
+            carry_emit = state["in_burst"] & (carry_close <= n - 1)
+            emits = jnp.concatenate([carry_emit[None],
+                                     valid & (closes <= n - 1)])
+            ev_starts = jnp.concatenate([state["burst_start_rel"][None],
+                                         opens])
+            ev_lens = jnp.concatenate(
+                [(carry_close - state["burst_start_rel"])[None],
+                 jnp.broadcast_to(tl, (self.MAX_BURSTS,))])
+            ev_peaks = jnp.concatenate([carry_pk[None], pk_rows])
+            end_ib = in_burst[-1]
+            last_open = jnp.max(jnp.where(valid, opens, NO_POS))
+            open_is_new = last_open + tl >= n   # closing sample beyond block
+            new_oc = jnp.where(
+                open_is_new, last_open + tl - (n - 1),
+                jnp.maximum(oc0 - n, 0))
+            end_start = jnp.where(open_is_new, last_open,
+                                  state["burst_start_rel"])
+            end_peak = jnp.where(
+                open_is_new,
+                jnp.max(jnp.where((idx >= last_open) & fire, lvl, neg_inf)),
+                carry_pk)
+
+        y = jnp.where(gate_open, x.data, jnp.zeros((), x.data.dtype))
+
+        # burst events: absolute start = meta.abs + start_rel + delay,
+        # carried as exact uint32 limb pairs (bitcast into the f32 rows
+        # — the reference keeps exact uhd time, lib/baz_gate.cc:147-153;
+        # f32-converted indices quantize past 2^24 ~ 5 s at 3.2 Msamp/s)
+        m = ev_starts.shape[0]
+        lo, hi = limbs_add_i32(jnp.full((m,), x.meta.abs_lo, jnp.uint32),
+                               jnp.full((m,), x.meta.abs_hi, jnp.uint32),
+                               ev_starts + jnp.int32(self.delay))
+        rows = jnp.stack([
+            bits_to_f32(hi), bits_to_f32(lo),
+            ev_lens.astype(jnp.float32),
+            jnp.where(jnp.isfinite(ev_peaks), ev_peaks, 0.0)], axis=1)
+        events, n_ev = _event_pack(emits, rows, self.MAX_BURSTS)
+        new_state = dict(
+            open_count=jnp.where(end_ib, new_oc, jnp.int32(0)),
+            in_burst=end_ib,
+            burst_start_rel=jnp.where(end_ib, end_start - n, jnp.int32(0)),
+            peak=jnp.where(end_ib & jnp.isfinite(end_peak), end_peak,
+                           jnp.float32(0.0)))
+        return new_state, (x.like(y, count=x.count),
+                           Stream(events, n_ev, x.meta))
+
+    def _apply_scan(self, state, params, x: Stream, trig: Stream):
+        """Per-sample serial mirror of the reference FSM — kept as the
+        property-test oracle for ``apply`` (not a production path)."""
+        fire = self._fire(params, trig)
         tl = params["trigger_length"]
         retrig = self.retriggerable
 
@@ -164,17 +312,16 @@ class Gate(Block):
         lvl = trig.data.astype(jnp.float32)
         new_state, (gate_open, closings, lengths, peaks, starts) = \
             jax.lax.scan(step, state, (idx, fire, lvl))
+        # re-base the carried start for the next block (start may lie in
+        # an earlier block)
+        new_state = dict(new_state,
+                         burst_start_rel=jnp.where(
+                             new_state["in_burst"],
+                             new_state["burst_start_rel"] - n, jnp.int32(0)))
         y = jnp.where(gate_open, x.data, jnp.zeros((), x.data.dtype))
-
-        # burst events: absolute start = meta.abs + start_rel + delay,
-        # carried as exact uint32 limb pairs (bitcast into the f32 rows
-        # — the reference keeps exact uhd time, lib/baz_gate.cc:147-153;
-        # f32-converted indices quantize past 2^24 ~ 5 s at 3.2 Msamp/s)
-        lo0, hi0 = limbs_add(x.meta.abs_lo, x.meta.abs_hi,
-                             jnp.uint32(self.delay))
-        lo, hi = limbs_add(jnp.full((n,), lo0, jnp.uint32),
-                           jnp.full((n,), hi0, jnp.uint32),
-                           starts.astype(jnp.uint32))
+        lo, hi = limbs_add_i32(jnp.full((n,), x.meta.abs_lo, jnp.uint32),
+                               jnp.full((n,), x.meta.abs_hi, jnp.uint32),
+                               starts + jnp.int32(self.delay))
         rows = jnp.stack([
             bits_to_f32(hi), bits_to_f32(lo),
             lengths.astype(jnp.float32), peaks], axis=1)
@@ -222,7 +369,17 @@ class BurstBuffer(Block):
     """Accumulate a trigger-delimited burst, emit it as one frame
     (baz_burst_buffer semantics: buffer a complete burst then emit it
     contiguously). Inputs (signal, sob_marks, eob_marks); output frames
-    [MAX_BURSTS, max_len] with per-frame lengths."""
+    [MAX_BURSTS, max_len] with per-frame lengths.
+
+    Block-parallel since r5: bursts are delimited by sob/eob edge
+    positions, so instead of a per-sample scan the block jumps between
+    edges with a MAX_BURSTS-step event-level scan (ops/segments.py
+    ``next_true_index``) and extracts each frame as one
+    ``dynamic_slice`` — exact up to MAX_BURSTS bursts per block (the
+    frame output's capacity anyway), property-tested against the
+    per-sample mirror (``_apply_scan``) in tests/test_burst.py
+    including bursts spanning multiple block boundaries.
+    """
 
     n_in = 3
     n_out = 2
@@ -238,6 +395,91 @@ class BurstBuffer(Block):
                     fill=np.int32(0), active=np.bool_(False))
 
     def apply(self, state, params, x: Stream, sob: Stream, eob: Stream):
+        from grbaz_tpu.ops.segments import NO_POS, next_true_index
+        ml = self.max_len
+        cap = self.MAX_BURSTS
+        n = x.data.shape[0]
+        xd = x.data.astype(self.dtype)
+        so = sob.data.astype(jnp.int32) != 0
+        eo = eob.data.astype(jnp.int32) != 0
+        next_sob = next_true_index(so, fill=n)
+        next_eob = next_true_index(eo, fill=n)
+        idx = jnp.arange(n, dtype=jnp.int32)
+
+        # ---- burst carried in from previous blocks ----
+        fc = jnp.where(state["active"], state["fill"], jnp.int32(0))
+        # fill reaches max_len at sample ml-fc-1; eob also closes
+        carry_close = jnp.minimum(next_eob[0], ml - fc - 1)
+        carry_emit = state["active"] & (carry_close <= n - 1)
+        # continue filling the carried buffer with this block's samples
+        carry_buf = jax.lax.dynamic_update_slice(
+            jnp.concatenate([state["buf"],
+                             jnp.zeros((n,), self.dtype)]),
+            xd, (fc,))[:ml]
+        carry_len = jnp.minimum(fc + carry_close + 1, ml)
+
+        # ---- new bursts: jump sob -> close -> next sob ----
+        pos0 = jnp.where(state["active"],
+                         jnp.where(carry_emit, carry_close + 1, n),
+                         jnp.int32(0))
+
+        def step(pos, _):
+            o = next_sob[jnp.clip(pos, 0, n - 1)]
+            o = jnp.where(pos >= n, n, o)
+            c = next_eob[jnp.clip(o, 0, n - 1)]
+            c = jnp.minimum(jnp.where(o >= n, n, c), o + ml - 1)
+            return jnp.minimum(c + 1, n), (o, c)
+
+        _, (opens, closes) = jax.lax.scan(step, pos0, None, length=cap)
+        valid = opens < n
+        new_emits = valid & (closes <= n - 1)
+        new_lens = jnp.minimum(closes - opens + 1, ml)
+
+        xpad = jnp.concatenate([xd, jnp.zeros((ml,), self.dtype)])
+        new_frames = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(xpad, (o,), (ml,)))(
+                jnp.clip(opens, 0, n - 1))
+
+        # ---- pack: carried frame first, then new bursts, masked to
+        # each frame's length ----
+        emits = jnp.concatenate([carry_emit[None], new_emits])
+        frames_all = jnp.concatenate([carry_buf[None], new_frames])
+        lens_all = jnp.concatenate([carry_len[None], new_lens])
+        jmask = jnp.arange(ml)[None, :] < lens_all[:, None]
+        frames_all = jnp.where(jmask, frames_all,
+                               jnp.zeros((), self.dtype))
+        pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
+        slot = jnp.where(emits, jnp.clip(pos, 0, cap - 1), cap - 1)
+        frames = jnp.zeros((cap, ml), self.dtype).at[slot].add(
+            jnp.where(emits[:, None], frames_all, 0))
+        lens = jnp.zeros((cap,), jnp.int32).at[slot].add(
+            jnp.where(emits, lens_all, 0))
+        n_b = jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
+
+        # ---- carried state out ----
+        carry_still = state["active"] & ~carry_emit
+        last_open = jnp.max(jnp.where(valid, opens, NO_POS))
+        last_close = jnp.max(jnp.where(valid, closes, NO_POS))
+        new_still = valid.any() & (last_close > n - 1)
+        nfill = jnp.where(carry_still, jnp.minimum(fc + n, ml),
+                          jnp.where(new_still, n - last_open,
+                                    jnp.int32(0)))
+        nbuf = jnp.where(
+            carry_still, carry_buf,
+            jnp.where(new_still,
+                      jax.lax.dynamic_slice(
+                          xpad, (jnp.clip(last_open, 0, n - 1),), (ml,)),
+                      jnp.zeros((ml,), self.dtype)))
+        nbuf = jnp.where(jnp.arange(ml) < nfill, nbuf,
+                         jnp.zeros((), self.dtype))
+        new_state = dict(buf=nbuf, fill=nfill,
+                         active=carry_still | new_still)
+        return new_state, (Stream(frames, n_b, x.meta),
+                           Stream(lens, n_b, x.meta))
+
+    def _apply_scan(self, state, params, x: Stream, sob: Stream,
+                    eob: Stream):
+        """Per-sample serial mirror — the property-test oracle."""
         ml = self.max_len
 
         def step(s, args):
@@ -256,12 +498,15 @@ class BurstBuffer(Block):
             return new, (emit, buf, fill)
 
         new_state, (emits, bufs, fills) = jax.lax.scan(
-            step, state, (x.data, sob.data.astype(jnp.int32),
+            step, state, (x.data.astype(self.dtype),
+                          sob.data.astype(jnp.int32),
                           eob.data.astype(jnp.int32)))
         cap = self.MAX_BURSTS
         pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
         slot = jnp.where(emits, jnp.clip(pos, 0, cap - 1), cap - 1)
-        frames = jnp.zeros((cap, ml), x.data.dtype).at[slot].add(
+        jm = jnp.arange(ml)[None, :] < fills[:, None]
+        bufs = jnp.where(jm, bufs, jnp.zeros((), self.dtype))
+        frames = jnp.zeros((cap, ml), self.dtype).at[slot].add(
             jnp.where(emits[:, None], bufs, 0))
         lens = jnp.zeros((cap,), jnp.int32).at[slot].add(
             jnp.where(emits, fills, 0))

@@ -45,7 +45,24 @@ class PeakDetector(Block):
     """Rise/fall peak detection FSM. Outputs (marks, idx_diff):
     ``marks`` is 1.0 at each detected peak position (0 elsewhere);
     ``idx_diff`` is the distance to the previous peak at mark positions
-    (the reference's optional int output)."""
+    (the reference's optional int output).
+
+    Block-parallel since r5 for the ``lockout == 0, look_ahead == 0``
+    family (the per-sample ``lax.scan`` FSM measured 0.08 Msamp/s on
+    v5e; this block sits in the full-rate spectral config-3 path): a
+    "rise" is a maximal run of ``cond = (x >= thr) & (x > ave*(1-drop))``
+    samples, so the FSM decomposes into segment structure
+    (ops/segments.py running maxima), a segmented prefix max with
+    first-position tracking (the peak and its index), and vectorized
+    qualification/emission at run ends — exact, capacity-free, and
+    property-tested against the serial mirror (``_apply_scan``) in
+    tests/test_detect.py. ``lockout > 0`` or ``look_ahead > 0`` couple
+    emissions back into segment structure (a lockout window swallows or
+    trims the next rise; look-ahead splits a run at stale-peak points),
+    a genuinely sequential chain — those configs keep the per-sample
+    scan, which in reference deployments runs on decimated trigger
+    streams, not full-rate IQ.
+    """
 
     n_out = 2
 
@@ -76,6 +93,104 @@ class PeakDetector(Block):
         return dict(threshold=np.float32(-np.inf if thr is None else thr))
 
     def apply(self, state, params, x: Stream):
+        if self.lockout > 0 or self.look_ahead > 0:
+            return self._apply_scan(state, params, x)
+        from grbaz_tpu.ops.iir import onepole_scan
+        from grbaz_tpu.ops.segments import (NO_POS, running_last_true,
+                                            seg_prefix_maxpos)
+        md, ml = jnp.float32(self.min_diff), jnp.int32(self.min_len)
+        drop, alpha = self.drop, self.alpha
+        thr = params["threshold"]
+        neg_inf = jnp.float32(-np.inf)
+
+        xf = x.data.astype(jnp.float32)
+        n = xf.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        base = state["global_idx"]
+        gidx = base + idx
+
+        # smoothed average of the PREVIOUS sample (reference updates
+        # d_ave from in[i-1] before examining in[i])
+        xprev = jnp.concatenate([state["prev"][None], xf[:-1]])
+        if alpha == 1.0:
+            ave = xprev
+        else:
+            ave = onepole_scan(jnp.float32(alpha) * xprev,
+                               1.0 - alpha, state["ave"])
+        cond = (xf >= thr) & (xf > ave * (1.0 - drop))
+        # the carried lockout prefix (init_state starts the stream with
+        # one locked sample, matching the reference's d_lockout_count=1)
+        cond = cond & (idx >= state["lockout_count"])
+
+        prev_in = jnp.concatenate([state["rising"][None], cond[:-1]])
+        start_e = cond & ~prev_in
+        end_e = ~cond & prev_in
+
+        # segment structure (global coords; carried rise began
+        # rise_count samples before this block)
+        seed_start = jnp.where(state["rising"],
+                               base - state["rise_count"],
+                               jnp.int32(NO_POS))
+        seg_start = running_last_true(start_e, gidx, seed_start)
+        in_carried = (jnp.cumsum(start_e.astype(jnp.int32)) == 0) \
+            & state["rising"]
+        first_arr = jnp.where(
+            in_carried, state["first"],
+            xf[jnp.clip(seg_start - base, 0, n - 1)])
+
+        # segmented prefix max + first position of the max. An end
+        # sample contributes -inf, so reading the prefix AT the end
+        # sample equals the state before it — no shift needed.
+        pv, pp = seg_prefix_maxpos(start_e,
+                                   jnp.where(cond, xf, neg_inf), gidx)
+        carried_pos = base - 1 - state["peak_age"]
+        take_c = in_carried & (state["peak"] >= pv)
+        pv = jnp.where(take_c, state["peak"], pv)
+        pp = jnp.where(take_c, carried_pos, pp)
+        rc_at = gidx - seg_start      # rise length at an end sample
+
+        qual = (rc_at >= ml) & ((pv - first_arr) >= md)
+        emits = end_e & qual
+        poss = pp
+
+        # previous-peak chain for idx_diff (emission positions are
+        # monotone, so "last emitted peak before me" is a running max)
+        seed_last = jnp.where(state["last_peak_global"] >= 0,
+                              state["last_peak_global"], jnp.int32(NO_POS))
+        incl = jax.lax.cummax(jnp.where(emits, poss, jnp.int32(NO_POS)))
+        lastb = jnp.maximum(
+            jnp.concatenate([jnp.full((1,), NO_POS, jnp.int32), incl[:-1]]),
+            seed_last)
+        diffs = jnp.where(lastb > NO_POS, poss - lastb, 0)
+
+        rel = jnp.clip(poss - base, 0, n - 1)
+        marks = jnp.zeros((n,), jnp.float32).at[rel].add(
+            jnp.where(emits, 1.0, 0.0))
+        idx_out = jnp.zeros((n,), jnp.int32).at[rel].add(
+            jnp.where(emits, diffs, 0))
+
+        rising_end = cond[-1]
+        m_last = jnp.maximum(incl[-1], seed_last)
+        new_state = dict(
+            ave=ave[-1],
+            prev=xf[-1],
+            rising=rising_end,
+            rise_count=jnp.where(rising_end,
+                                 gidx[-1] - seg_start[-1] + 1, 0),
+            first=jnp.where(rising_end, first_arr[-1], 0.0),
+            peak=jnp.where(rising_end, pv[-1], 0.0),
+            peak_age=jnp.where(rising_end, gidx[-1] - pp[-1], 0),
+            lockout_count=jnp.maximum(state["lockout_count"] - n, 0),
+            last_peak_global=jnp.where(m_last > NO_POS, m_last,
+                                       jnp.int32(-1)),
+            global_idx=base + n)
+        return new_state, (x.like(marks, count=x.count),
+                           x.like(idx_out, count=x.count))
+
+    def _apply_scan(self, state, params, x: Stream):
+        """Per-sample serial mirror of the reference FSM — the
+        production path for lockout/look-ahead configs and the
+        property-test oracle for the block-parallel ``apply``."""
         md, ml, lo = self.min_diff, self.min_len, self.lockout
         drop, alpha, la = self.drop, self.alpha, self.look_ahead
         thr = params["threshold"]
@@ -237,7 +352,8 @@ class RadarDetector(Block):
     def init_state(self):
         return dict(in_burst=np.bool_(False), start=np.int32(0),
                     bsum=np.float32(0.0), bmax=np.float32(0.0),
-                    global_idx=np.int32(0))
+                    global_idx=np.int32(0),
+                    dropped=np.int32(0))   # events lost to list overflow
 
     def init_params(self):
         return dict(base_level=np.float32(self.base0),
@@ -247,13 +363,21 @@ class RadarDetector(Block):
         thr = params["base_level"] * params["threshold"]
         # Block-vectorized formulation (no per-sample lax.scan — the
         # scan form measured 0.125 Msamp/s on v5e, below single-channel
-        # radar video rates): threshold edges -> burst segment ids ->
-        # segmented sum via cumsum differences (triangular-matmul
-        # cumsum, ops.iir) and segmented max via a [MAX_EVENTS, n]
-        # masked reduction. Emission semantics identical to the serial
-        # loop: a report fires at the first below-threshold sample with
-        # (start_idx, length, max, sum) accumulated over [start, end).
-        from grbaz_tpu.ops.iir import onepole_scan
+        # radar video rates): threshold edges -> running-max segment
+        # starts -> segmented prefix sum/max (ops/segments.py).
+        # Capacity-free since r5 (advisor r4 medium): per-burst values
+        # and the carried open-burst state are exact for ANY number of
+        # bursts per block — only the packed event LIST has a capacity,
+        # whose overflow is now counted in state["dropped"] (the count
+        # still clamps and only an overflowing block's final slot is
+        # unreliable, _event_pack semantics). Per-burst sums accumulate
+        # directly per segment (no block-wide cumsum differencing —
+        # advisor r4 low on cancellation). Emission semantics identical
+        # to the serial loop: a report fires at the first
+        # below-threshold sample with (start_idx, length, max, sum)
+        # accumulated over [start, end).
+        from grbaz_tpu.ops.segments import (NO_POS, running_last_true,
+                                            seg_prefix_max, seg_prefix_sum)
         xd = x.data.astype(jnp.float32)
         n = xd.shape[0]
         cap = self.MAX_EVENTS
@@ -264,63 +388,39 @@ class RadarDetector(Block):
         idx = jnp.arange(n, dtype=jnp.int32)
         gidx = state["global_idx"] + idx
 
-        # segment id: 0 = the burst carried into this block (if any),
-        # new bursts count up from there
-        seg = jnp.cumsum(starts_e.astype(jnp.int32)) \
-            + state["in_burst"].astype(jnp.int32) - 1  # -1 when idle
-        # per-burst start positions (global), gathered to samples
-        start_pos_local = jnp.zeros((cap,), jnp.int32).at[
-            jnp.where(starts_e, jnp.clip(seg, 0, cap - 1), cap - 1)
-        ].add(jnp.where(starts_e, gidx, 0))
-        start_pos_local = start_pos_local.at[0].add(
-            jnp.where(state["in_burst"], state["start"], 0))
-        # cumsum of in-burst power (exact running totals via matmuls)
-        csum = onepole_scan(jnp.where(above, xd, 0.0), 1.0, 0.0)
-        csum0 = jnp.concatenate([jnp.zeros((1,), jnp.float32), csum[:-1]])
-        # per-burst masked max over this block's span
-        segc = jnp.clip(seg, 0, cap - 1)
-        eidx = jnp.arange(cap, dtype=jnp.int32)
-        in_seg = (segc[None, :] == eidx[:, None]) & above[None, :]
-        bmax_block = jnp.max(jnp.where(in_seg, xd[None, :],
-                                       jnp.float32(-np.inf)), axis=1)
-        # csum at each burst's first sample (exclusive prefix)
-        bsum_start = jnp.zeros((cap,), jnp.float32).at[
-            jnp.where(starts_e, jnp.clip(seg, 0, cap - 1), cap - 1)
-        ].add(jnp.where(starts_e, csum0, 0.0))
-        carry_sum0 = jnp.where(state["in_burst"], state["bsum"], 0.0)
-        carry_max0 = jnp.where(state["in_burst"], state["bmax"],
-                               jnp.float32(-np.inf))
+        seed = jnp.where(state["in_burst"], state["start"],
+                         jnp.int32(NO_POS))
+        seg_start = running_last_true(starts_e, gidx, seed)
+        in_carried = (jnp.cumsum(starts_e.astype(jnp.int32)) == 0) \
+            & state["in_burst"]
+        carry_sum = jnp.where(in_carried, state["bsum"], 0.0)
+        carry_max = jnp.where(in_carried, state["bmax"],
+                              jnp.float32(-np.inf))
+        # below-threshold samples contribute 0 / -inf, so the prefix AT
+        # an end sample equals the burst's full accumulation
+        ssum = seg_prefix_sum(starts_e, jnp.where(above, xd, 0.0)) \
+            + carry_sum
+        smax = jnp.maximum(
+            seg_prefix_max(starts_e, jnp.where(above, xd,
+                                               jnp.float32(-np.inf))),
+            carry_max)
 
-        # rows at END positions: burst k's accumulation through its
-        # last above-threshold sample
-        seg_at_end = jnp.clip(seg, 0, cap - 1)  # seg still = burst id at end
-        bsum_at = csum0 - bsum_start[seg_at_end] \
-            + jnp.where(seg == 0, carry_sum0, 0.0)
-        bmax_at = jnp.maximum(bmax_block[seg_at_end],
-                              jnp.where(seg == 0, carry_max0,
-                                        jnp.float32(-np.inf)))
-        bstart_at = start_pos_local[seg_at_end]
-        emits = ends_e & (seg >= 0)
-        starts = bstart_at
-        lens = gidx - bstart_at
-        maxs = bmax_at
-        sums = bsum_at
+        emits = ends_e
+        starts = seg_start
+        lens = gidx - seg_start
+        maxs = smax
+        sums = ssum
 
-        # carried state: open burst at block end
-        last_seg = seg[-1]
+        # carried state: open burst at block end (exact — no slot table)
         still_open = above[-1]
-        open_start = start_pos_local[jnp.clip(last_seg, 0, cap - 1)]
-        open_sum = csum[-1] - bsum_start[jnp.clip(last_seg, 0, cap - 1)] \
-            + jnp.where(last_seg == 0, carry_sum0, 0.0)
-        open_max = jnp.maximum(
-            bmax_block[jnp.clip(last_seg, 0, cap - 1)],
-            jnp.where(last_seg == 0, carry_max0, jnp.float32(-np.inf)))
+        n_emit = jnp.sum(emits.astype(jnp.int32))
         new_state = dict(
             in_burst=still_open,
-            start=jnp.where(still_open, open_start, jnp.int32(0)),
-            bsum=jnp.where(still_open, open_sum, jnp.float32(0.0)),
-            bmax=jnp.where(still_open, open_max, jnp.float32(0.0)),
-            global_idx=state["global_idx"] + jnp.int32(n))
+            start=jnp.where(still_open, seg_start[-1], jnp.int32(0)),
+            bsum=jnp.where(still_open, ssum[-1], jnp.float32(0.0)),
+            bmax=jnp.where(still_open, smax[-1], jnp.float32(0.0)),
+            global_idx=state["global_idx"] + jnp.int32(n),
+            dropped=state["dropped"] + jnp.maximum(n_emit - cap, 0))
         # compact events to the front; the absolute start index rides
         # BITCAST int32 (exact — f32 conversion quantizes past 2^24,
         # ~5 s at 3.2 Msamp/s; decode with stream.decode_i32 or

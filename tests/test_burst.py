@@ -177,3 +177,85 @@ def test_gate_event_limbs_cross_2pow32():
                           stream(trig, abs_index=abs_base))
     rows = decode_abs_events(ev.data, int(ev.count))
     assert int(rows[0, 0]) == (1 << 32) + 50
+
+
+def test_gate_vectorized_vs_serial_mirror():
+    """Block-parallel Gate equals the per-sample serial mirror: gated
+    signal bit-for-bit, plus event rows (abs start / length / peak),
+    for both retriggerable modes and bursts spanning block boundaries."""
+    import jax.numpy as jnp
+    from grbaz_tpu.core.stream import Stream, StreamMeta
+    from grbaz_tpu.ops.burst import Gate, decode_abs_events
+
+    def run(gate, x, trig, bs, use_scan):
+        st, pr = gate.init_state(), gate.init_params()
+        meta = StreamMeta.start(1e6)
+        ys, evs = [], []
+        fn = gate._apply_scan if use_scan else gate.apply
+        for i in range(0, len(x), bs):
+            sx = Stream(jnp.asarray(x[i:i + bs]), jnp.int32(bs), meta)
+            stq = Stream(jnp.asarray(trig[i:i + bs]), jnp.int32(bs), meta)
+            st, (y, ev) = fn(st, pr, sx, stq)
+            ys.append(np.asarray(y.data))
+            evs.extend(tuple(r) for r in
+                       decode_abs_events(np.asarray(ev.data),
+                                         int(ev.count)))
+        return np.concatenate(ys), evs
+
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        n, bs = 256 * 6, 256
+        tl = int(rng.integers(1, 40))
+        retrig = trial % 2 == 0
+        dens = [0.02, 0.2, 0.6][trial % 3]
+        trig = ((rng.random(n) < dens)
+                * (0.6 + rng.random(n))).astype(np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        cfg = dict(threshold=0.5, trigger_length=tl, retriggerable=retrig)
+        y1, e1 = run(Gate(**cfg), x, trig, bs, use_scan=True)
+        y2, e2 = run(Gate(**cfg), x, trig, bs, use_scan=False)
+        np.testing.assert_array_equal(y1, y2, err_msg=str((trial, cfg)))
+        assert len(e1) == len(e2), (trial, cfg, len(e1), len(e2))
+        for a, b in zip(e1, e2):
+            assert a[0] == b[0] and a[1] == b[1], (trial, cfg, a, b)
+            assert abs(a[2] - b[2]) < 1e-6, (trial, cfg, a, b)
+
+
+def test_burst_buffer_vectorized_vs_serial_mirror():
+    """Block-parallel BurstBuffer equals the per-sample mirror: frame
+    contents, lengths, and counts, including bursts spanning multiple
+    blocks and max_len truncation."""
+    import jax.numpy as jnp
+    from grbaz_tpu.core.stream import Stream, StreamMeta
+    from grbaz_tpu.ops.burst import BurstBuffer
+
+    def run(bb, x, so, eo, bs, use_scan):
+        st, pr = bb.init_state(), bb.init_params()
+        meta = StreamMeta.start(1e6)
+        out = []
+        fn = bb._apply_scan if use_scan else bb.apply
+        for i in range(0, len(x), bs):
+            args = [Stream(jnp.asarray(a[i:i + bs]), jnp.int32(bs), meta)
+                    for a in (x, so, eo)]
+            st, (fr, ln) = fn(st, pr, *args)
+            nb = int(fr.count)
+            fr, ln = np.asarray(fr.data), np.asarray(ln.data)
+            for k in range(min(nb, bb.MAX_BURSTS)):
+                out.append((int(ln[k]), fr[k, :int(ln[k])].copy()))
+        return out
+
+    rng = np.random.default_rng(2)
+    for trial in range(6):
+        n, bs = 1024, 256
+        ml = [8, 32, 100][trial % 3]
+        so = (rng.random(n) < 0.05).astype(np.int32)
+        eo = (rng.random(n) < [0.08, 0.02, 0.005][trial % 3]) \
+            .astype(np.int32)
+        x = (rng.standard_normal(n)
+             + 1j * rng.standard_normal(n)).astype(np.complex64)
+        b1 = run(BurstBuffer(ml), x, so, eo, bs, True)
+        b2 = run(BurstBuffer(ml), x, so, eo, bs, False)
+        assert len(b1) == len(b2), (trial, ml, len(b1), len(b2))
+        for (l1, f1), (l2, f2) in zip(b1, b2):
+            assert l1 == l2, (trial, ml, l1, l2)
+            np.testing.assert_array_equal(f1, f2, err_msg=str((trial, ml)))

@@ -176,3 +176,84 @@ def test_radar_detector_vectorized_vs_serial_mirror(rng):
         assert int(g[0]) == r[0] and int(g[1]) == r[1]
         assert abs(g[2] - r[2]) < 1e-5
         assert abs(g[3] - r[3]) < 1e-3
+
+
+def test_peak_detector_vectorized_vs_serial_mirror():
+    """Block-parallel PeakDetector equals the per-sample serial mirror
+    (marks AND idx_diff) across signal shapes, parameterizations, and
+    block boundaries (lockout == 0, look_ahead == 0 family)."""
+    import jax.numpy as jnp
+    from grbaz_tpu.core.stream import Stream
+
+    def run(pd, x, bs, use_scan):
+        st, pr = pd.init_state(), pd.init_params()
+        ms, ds = [], []
+        fn = pd._apply_scan if use_scan else pd.apply
+        for i in range(0, len(x), bs):
+            s = Stream.full(jnp.asarray(x[i:i + bs]))
+            st, (m, d) = fn(st, pr, s)
+            ms.append(np.asarray(m.data))
+            ds.append(np.asarray(d.data))
+        return np.concatenate(ms), np.concatenate(ds)
+
+    rng = np.random.default_rng(1)
+    cases = [
+        dict(min_diff=0.0, min_len=1),
+        dict(min_diff=0.3, min_len=2, drop=0.1),
+        dict(min_diff=1.0, min_len=1, alpha=0.3),
+        dict(min_diff=0.3, min_len=3, threshold=0.5),
+    ]
+    for kind in range(3):
+        n, bs = 2048, 256
+        if kind == 0:
+            x = np.abs(rng.standard_normal(n)).astype(np.float32)
+        elif kind == 1:
+            x = rng.random(n).astype(np.float32)
+            x[::50] += 3.0
+        else:
+            x = np.cumsum(rng.standard_normal(n)).astype(np.float32)
+        for kw in cases:
+            m1, d1 = run(PeakDetector(**kw), x, bs, True)
+            m2, d2 = run(PeakDetector(**kw), x, bs, False)
+            np.testing.assert_array_equal(m1, m2, err_msg=str((kind, kw)))
+            np.testing.assert_array_equal(d1, d2, err_msg=str((kind, kw)))
+
+
+def test_peak_detector_lockout_dispatches_to_scan():
+    """lockout/look_ahead configs keep the serial FSM (documented)."""
+    x = np.zeros(512, np.float32)
+    x[100:102] = [0.3, 1.0]
+    x[110:112] = [0.3, 1.0]
+    pd = PeakDetector(min_diff=0.5, lockout=50)
+    outs = run_blocks(pd, x, 512)
+    marks = outs[0][0][0]
+    assert len(np.where(marks > 0)[0]) == 1  # second rise locked out
+
+
+def test_radar_detector_event_overflow_keeps_state_exact():
+    """More bursts per block than MAX_EVENTS: the event list clamps and
+    counts the loss, but the carried open-burst state stays exact
+    (advisor r4 medium)."""
+    import jax.numpy as jnp
+    from grbaz_tpu.core.stream import Stream, StreamMeta
+
+    cap = RadarDetector.MAX_EVENTS
+    n = 4 * cap + 3  # alternating above/below: 2*cap+1 bursts, last open
+    x = np.where(np.arange(n) % 2 == 0, 5.0, 0.01).astype(np.float32)
+    x[-1] = 5.0  # ends open (odd length: last sample is even index)
+    det = RadarDetector(base_level=0.1, threshold_db=10.0)
+    st, pr = det.init_state(), det.init_params()
+    meta = StreamMeta.start(1e6)
+    st, (ev,) = det.apply(st, pr, Stream(jnp.asarray(x), jnp.int32(n), meta))
+    assert int(ev.count) == cap                       # clamped
+    assert int(st["dropped"]) == (2 * cap + 1) - cap  # loss observable
+    # the open burst carried out is the single final sample — exact
+    assert bool(st["in_burst"])
+    assert int(st["start"]) == n - 1
+    assert abs(float(st["bsum"]) - 5.0) < 1e-6
+    assert abs(float(st["bmax"]) - 5.0) < 1e-6
+    # and the first cap-1 packed events are still correct
+    dec = RadarDetector.decode_events(np.asarray(ev.data), cap)
+    assert np.all(dec[:cap - 1, 0] == np.arange(cap - 1) * 2)
+    assert np.all(dec[:cap - 1, 1] == 1)
+    assert np.allclose(dec[:cap - 1, 2], 5.0)
