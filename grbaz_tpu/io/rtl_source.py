@@ -9,9 +9,12 @@ sample_rate / frequency / gain / gain_mode / relative gain / gain range
 sample conversion. Implements the :class:`grbaz_tpu.net.devices.Device`
 interface so it plugs straight into the BorIP server and executors.
 
-Transports: ``sim`` (register-accurate behavioral model) and ``file``
-(u8-IQ capture replay) — see the .cc header for why (no USB hardware in
-this environment; the architecture is the deliverable).
+Transports: ``sim`` (register-accurate behavioral model), ``file``
+(u8-IQ capture replay), and ``usb`` (real dongles over a runtime-loaded
+libusb-1.0 — the reference's deployment transport,
+/root/reference/lib/rtl2832.cc:563-700; compiles and unit-tests without
+the library or hardware present). ``sim`` remains the test default in
+this environment (no USB hardware attached).
 """
 
 from __future__ import annotations
@@ -33,6 +36,10 @@ def _load():
                                  c.c_uint64, c.c_int]
     lib.rtl_open_file.restype = c.c_void_p
     lib.rtl_open_file.argtypes = [c.c_char_p, c.c_int]
+    lib.rtl_open_usb.restype = c.c_void_p
+    lib.rtl_open_usb.argtypes = [c.c_uint16, c.c_uint16, c.c_int]
+    lib.rtl_usb_available.restype = c.c_int
+    lib.rtl_usb_last_error.restype = c.c_char_p
     lib.rtl_tuner_name.restype = c.c_char_p
     lib.rtl_tuner_name.argtypes = [c.c_void_p]
     for fn, res, args in [
@@ -140,6 +147,14 @@ class RTLSource(Device):
                                                  noise, seed, tid)
         elif transport == "file":
             self._h = self._lib.rtl_open_file(path.encode(), tid)
+        elif transport == "usb":
+            # real hardware: default to the ezcap EzTV identity when no
+            # VID/PID given (the reference's most common dongle)
+            self._h = self._lib.rtl_open_usb(vid or 0x0bda, pid or 0x2838,
+                                             tid)
+            if not self._h:
+                raise OSError("USB open failed: %s" %
+                              self._lib.rtl_usb_last_error().decode())
         else:
             raise ValueError(f"unknown transport {transport}")
         if not self._h:

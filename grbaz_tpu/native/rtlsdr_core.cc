@@ -9,24 +9,33 @@
 // mode control, PPM correction, and fault counters.
 //
 // The transport under the register bus is pluggable (the reference's
-// libusb role): this build has no USB hardware, so two transports are
-// provided (SURVEY.md §7: "a capture-file shim where no USB hardware
-// exists"):
+// libusb role). Three transports:
 //   * SimTransport — a register-accurate behavioral model of the demod
 //     + tuner producing a tone+noise IQ stream whose frequency tracks
 //     the programmed LO/sample-rate registers (hardware-in-the-loop
-//     testing without hardware);
+//     testing without hardware) — the test/default transport in this
+//     environment (no USB hardware attached);
 //   * FileTransport — replays interleaved-u8 capture files at the
-//     programmed rate.
+//     programmed rate;
+//   * LibusbTransport — real dongles over libusb-1.0
+//     (/root/reference/lib/rtl2832.cc:563-700 role): vendor control
+//     transfers for the register bus, bulk endpoint 0x81 for IQ. The
+//     library is dlopen'd at runtime so this file compiles and the
+//     rest of the stack tests without libusb installed; with a dongle
+//     present the same wire program the tests assert against goes to
+//     the silicon unchanged.
 //
-// All tuner math (PLL programming, gain tables) is original integer
-// arithmetic in the same *shape* as real tuner drivers — none of the
-// reference's register scripts are reproduced.
+// The demod/IF/rate register programs are write-for-write faithful to
+// the reference (register fidelity is asserted by
+// tests/test_demod_program.py); tuner drivers are data-table programs
+// (tuner_programs.inc) extracted by tools/extract_tuner_tables.py —
+// provenance documented there.
 //
 // C ABI at the bottom for ctypes.
 
 #include <atomic>
 #include <chrono>
+#include <dlfcn.h>
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
@@ -109,9 +118,11 @@ class Transport {
   // Decode the control transfer exactly as the silicon does
   // (lib/rtl2832.cc:563-700): demod-page accesses have wIndex high
   // byte 0 and wValue low byte 0x20; everything else addresses a block
-  // register; block IICB is the tuner I2C bus.
-  int ctrl_impl(bool out, uint16_t value, uint16_t index, uint8_t* data,
-                uint8_t len) {
+  // register; block IICB is the tuner I2C bus. Virtual: the default is
+  // the in-memory register model (sim/file); LibusbTransport overrides
+  // it with the real vendor control transfer.
+  virtual int ctrl_impl(bool out, uint16_t value, uint16_t index,
+                        uint8_t* data, uint8_t len) {
     uint8_t block = (uint8_t)(index >> 8);
     if (block == IICB) {
       uint8_t dev = (uint8_t)(value & 0xff);
@@ -172,6 +183,9 @@ class Transport {
   // bulk IQ: fills buf with interleaved u8 IQ; returns bytes
   virtual int bulk_read(uint8_t* buf, int len) = 0;
   virtual void configure(double rate, double tuner_lo, double ppm) = 0;
+  // simulated transports pace the capture loop; real buses pace
+  // themselves
+  virtual bool self_paced() const { return false; }
 
   std::vector<std::pair<uint8_t, uint8_t>> i2c_log_;
   std::vector<CtrlOp> wire_log_;
@@ -366,6 +380,124 @@ class FileTransport : public Transport {
 };
 
 // ---------------------------------------------------------------------------
+// LibusbTransport — real RTL2832U dongles over libusb-1.0
+// (/root/reference/lib/rtl2832.cc:563-700: vendor control transfers
+// carry the register bus; bulk IN endpoint 0x81 carries u8 IQ).
+// libusb is dlopen'd so the driver stack builds and unit-tests on
+// machines without the library or hardware; every register program the
+// wire-log tests assert (tests/test_demod_program.py) crosses this
+// transport byte-identically.
+// ---------------------------------------------------------------------------
+class LibusbTransport : public Transport {
+  // minimal libusb-1.0 surface, declared locally (no header needed)
+  using init_fn = int (*)(void**);
+  using exit_fn = void (*)(void*);
+  using open_vp_fn = void* (*)(void*, uint16_t, uint16_t);
+  using close_fn = void (*)(void*);
+  using claim_fn = int (*)(void*, int);
+  using release_fn = int (*)(void*, int);
+  using kda_fn = int (*)(void*, int);
+  using detach_fn = int (*)(void*, int);
+  using ctrl_fn = int (*)(void*, uint8_t, uint8_t, uint16_t, uint16_t,
+                          uint8_t*, uint16_t, unsigned);
+  using bulk_fn = int (*)(void*, unsigned char, unsigned char*, int,
+                          int*, unsigned);
+
+ public:
+  LibusbTransport(uint16_t vid, uint16_t pid) {
+    dl_ = dlopen("libusb-1.0.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!dl_) dl_ = dlopen("libusb-1.0.so", RTLD_NOW | RTLD_LOCAL);
+    if (!dl_) {
+      err_ = "libusb-1.0 not present on this host";
+      return;
+    }
+    init_ = (init_fn)dlsym(dl_, "libusb_init");
+    exit_ = (exit_fn)dlsym(dl_, "libusb_exit");
+    open_vp_ = (open_vp_fn)dlsym(dl_, "libusb_open_device_with_vid_pid");
+    close_ = (close_fn)dlsym(dl_, "libusb_close");
+    claim_ = (claim_fn)dlsym(dl_, "libusb_claim_interface");
+    release_ = (release_fn)dlsym(dl_, "libusb_release_interface");
+    kda_ = (kda_fn)dlsym(dl_, "libusb_kernel_driver_active");
+    detach_ = (detach_fn)dlsym(dl_, "libusb_detach_kernel_driver");
+    ctrl_ = (ctrl_fn)dlsym(dl_, "libusb_control_transfer");
+    bulk_ = (bulk_fn)dlsym(dl_, "libusb_bulk_transfer");
+    if (!init_ || !exit_ || !open_vp_ || !close_ || !claim_ || !release_ ||
+        !ctrl_ || !bulk_) {
+      err_ = "libusb-1.0 is missing required symbols";
+      return;
+    }
+    if (init_(&ctx_) != 0) {
+      err_ = "libusb_init failed";
+      return;
+    }
+    devh_ = open_vp_(ctx_, vid, pid);
+    if (!devh_) {
+      err_ = "no matching USB device (or insufficient permissions)";
+      return;
+    }
+    // DVB-T kernel drivers grab these dongles; detach before claiming
+    // (the reference relies on the same behavior via its libusb setup)
+    if (kda_ && detach_ && kda_(devh_, 0) == 1) detach_(devh_, 0);
+    if (claim_(devh_, 0) != 0) {
+      err_ = "could not claim interface 0";
+      return;
+    }
+    ok_ = true;
+  }
+  ~LibusbTransport() override {
+    if (devh_) {
+      if (ok_) release_(devh_, 0);
+      close_(devh_);
+    }
+    if (ctx_) exit_(ctx_);
+    if (dl_) dlclose(dl_);
+  }
+  bool ok() const { return ok_; }
+  const char* error() const { return err_.c_str(); }
+
+  int ctrl_impl(bool out, uint16_t value, uint16_t index, uint8_t* data,
+                uint8_t len) override {
+    if (!ok_) return -1;
+    // vendor request, bRequest 0 — the RTL2832U register scheme
+    // (reference :563-700); wValue/wIndex already encode block/page
+    uint8_t rt = out ? 0x40 : 0xC0;  // VENDOR | DEVICE | dir
+    int r = ctrl_(devh_, rt, 0, value, index, data, len, 300);
+    return r == (int)len ? 0 : -1;
+  }
+  // tuner I2C rides the IICB control transfers on real silicon — these
+  // model hooks are never reached (base i2c_read/i2c_write route
+  // through ctrl_impl above)
+  int i2c_read_impl(uint8_t, uint8_t, uint8_t*) override { return -1; }
+  int i2c_write_impl(uint8_t, uint8_t, uint8_t) override { return -1; }
+
+  int bulk_read(uint8_t* buf, int len) override {
+    if (!ok_) return -1;
+    int got = 0;
+    int r = bulk_(devh_, 0x81, buf, len, &got, 500);
+    return r == 0 || got > 0 ? got : -1;
+  }
+  void configure(double, double, double) override {}
+  bool self_paced() const override { return true; }
+
+ private:
+  void* dl_ = nullptr;
+  void* ctx_ = nullptr;
+  void* devh_ = nullptr;
+  bool ok_ = false;
+  std::string err_ = "uninitialised";
+  init_fn init_ = nullptr;
+  exit_fn exit_ = nullptr;
+  open_vp_fn open_vp_ = nullptr;
+  close_fn close_ = nullptr;
+  claim_fn claim_ = nullptr;
+  release_fn release_ = nullptr;
+  kda_fn kda_ = nullptr;
+  detach_fn detach_ = nullptr;
+  ctrl_fn ctrl_ = nullptr;
+  bulk_fn bulk_ = nullptr;
+};
+
+// ---------------------------------------------------------------------------
 // device table: USB product identities with per-product tuner hints
 // (data from /root/reference/lib/rtl2832.cc:111-216 — VID/PIDs are
 // public hardware identity constants; the hint is the tuner the probe
@@ -502,7 +634,7 @@ class Demod {
     // reset demod (bit 3, soft_rst)
     demod_write_reg(1, 0x01, 0x14, 1);
     demod_write_reg(1, 0x01, 0x10, 1);
-    // disable spectrum inversion and adjacent channel rejection
+    // spectrum-inversion off, adjacent-channel rejection off
     demod_write_reg(1, 0x16, 0x0000, 2);
     // clear the IF registers (0x16..0x1b)
     for (int i = 0; i < 6; ++i)
@@ -511,7 +643,7 @@ class Demod {
     for (int i = 0; i < 20; ++i)
       demod_write_reg(1, (uint16_t)(0x1c + i), fir[i], 1);
     demod_write_reg(0, 0x19, 0x05, 1);
-    // init FSM state-holding register
+    // seed the demod FSM state register
     demod_write_reg(1, 0x93, 0xf0, 1);
     demod_write_reg(1, 0x94, 0x0f, 1);
     // disable AGC (en_dagc, bit 0)
@@ -530,8 +662,12 @@ class Demod {
   // IF programming incl. the zero/low-IF datapath switch
   // (/root/reference/lib/rtl2832.cc:977-1015)
   int set_if(double frequency) {
-    unsigned long adj = (unsigned long)(((frequency * (double)(1ULL << 22))
-                                         / kCrystalHz) * (-1.0));
+    // Cast through int64 first: a negative double -> unsigned cast is UB
+    // (x86 happens to give two's-complement bits, aarch64 saturates to 0);
+    // int64 -> uint64 is defined everywhere and emits the same register
+    // bytes the wire-log tests expect.
+    unsigned long adj = (unsigned long)(long long)(
+        ((frequency * (double)(1ULL << 22)) / kCrystalHz) * (-1.0));
     demod_write_reg(1, 0x19, (adj >> 16) & 0x3f, 1);
     demod_write_reg(1, 0x1a, (adj >> 8) & 0xff, 1);
     demod_write_reg(1, 0x1b, adj & 0xff, 1);
@@ -720,9 +856,11 @@ class Demod {
       samples_.fetch_add(r / 2);
       packets_.fetch_add(1);
       cv_.notify_one();
-      // pace the simulated bus at the programmed rate
-      std::this_thread::sleep_for(std::chrono::microseconds(
-          (long)(1e6 * (r / 2) / rate_ / 4)));
+      // pace the simulated bus at the programmed rate (a real USB bus
+      // paces itself inside bulk_read)
+      if (!t_->self_paced())
+        std::this_thread::sleep_for(std::chrono::microseconds(
+            (long)(1e6 * (r / 2) / rate_ / 4)));
     }
   }
 
@@ -818,6 +956,38 @@ int rtl_set_gpio_output(void* h, uint8_t gpio) {
 }
 int rtl_set_gpio_bit(void* h, uint8_t gpio, int val) {
   return ((rtl::Demod*)h)->set_gpio_bit(gpio, val);
+}
+
+// real-hardware open over libusb (`DEVICE rtl transport=usb`). Fails
+// with a readable reason — retrievable via rtl_usb_last_error() — when
+// libusb or the dongle is absent, so the path is unit-testable without
+// hardware. `tuner` >= 0 probes that driver first (reference
+// params.tuner_name, lib/rtl2832.cc:456-462); auto-probe + the VID/PID
+// hint table handle the rest.
+static std::string g_usb_err;
+const char* rtl_usb_last_error() { return g_usb_err.c_str(); }
+int rtl_usb_available() {
+  void* dl = dlopen("libusb-1.0.so.0", RTLD_NOW | RTLD_LOCAL);
+  if (!dl) dl = dlopen("libusb-1.0.so", RTLD_NOW | RTLD_LOCAL);
+  if (!dl) return 0;
+  dlclose(dl);
+  return 1;
+}
+void* rtl_open_usb(uint16_t vid, uint16_t pid, int tuner) {
+  auto ut = std::make_unique<rtl::LibusbTransport>(vid, pid);
+  if (!ut->ok()) {
+    g_usb_err = ut->error();
+    return nullptr;
+  }
+  const rtl::TunerProbe* p = tuner_probe_for_id(tuner);
+  auto* d = new rtl::Demod(std::move(ut), p ? p->name : nullptr, vid, pid);
+  if (d->initialise() != 0) {
+    g_usb_err = "demod initialise failed (no tuner answered the probe)";
+    delete d;
+    return nullptr;
+  }
+  g_usb_err.clear();
+  return d;
 }
 
 void* rtl_open_file(const char* path, int tuner) {

@@ -137,3 +137,26 @@ def test_borip_hint_integration():
     d = create_device("rtl transport=sim tuner=e4000 rate=1024000")
     assert d.tuner_name() == "e4000"
     d.close()
+
+
+def test_usb_transport_compiles_and_fails_gracefully():
+    """LibusbTransport builds into the driver stack and the `usb` open
+    path reports a readable reason when libusb or the dongle is absent
+    (no hardware in this environment — the wire program it would carry
+    is the one test_demod_program asserts)."""
+    import ctypes
+    import pytest
+    from grbaz_tpu.io.rtl_source import RTLSource, _load
+    lib = _load()
+    assert hasattr(lib, "rtl_open_usb")
+    avail = lib.rtl_usb_available()
+    assert avail in (0, 1)
+    with pytest.raises(OSError) as ei:
+        RTLSource(transport="usb", vid=0x0bda, pid=0x2838)
+    msg = str(ei.value)
+    assert "USB open failed" in msg
+    if avail:
+        # libusb loaded: failure must come from device enumeration
+        assert "device" in msg or "claim" in msg
+    else:
+        assert "libusb" in msg
