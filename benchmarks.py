@@ -345,33 +345,40 @@ def bench_decoders():
     from grbaz_tpu.ops.detect import PeakDetector, RadarDetector
 
     n = 1 << 14
+    nb = 1 << 20   # block-parallel detectors: full-IQ-rate block shape
     rng = np.random.default_rng(0)
     bits = (rng.random(n) < 0.5).astype(np.uint8)
     pulses = (np.arange(n) % 16 == 0).astype(np.uint8)
     metrics = np.where(bits > 0, -1.0, 1.0).astype(np.float32)
-    power = (0.1 + (np.arange(n) % 100 == 0) * 2.0).astype(np.float32)
-    sig = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
-           ).astype(np.complex64)
+    power_b = (0.1 + (np.arange(nb) % 100 == 0) * 2.0).astype(np.float32)
+    sig_b = (rng.standard_normal(nb) + 1j * rng.standard_normal(nb)
+             ).astype(np.complex64)
 
+    # (name, block, inputs, block_size, bench_bank): the per-sample scan
+    # FSMs (symbol-rate decoders) keep the 16k block + x64 vmapped-bank
+    # row; the r5 block-parallel detectors (full-IQ-rate paths: gate in
+    # burst extraction, peak/radar in spectral/pulse video) run
+    # single-stream at 1M blocks — their deployment shape.
     cases = [
-        ("manchester", ManchesterDecode(), [bits]),
-        ("dpll", DPLLBitSync(16.0), [pulses]),
-        ("acars", ACARSDecoder(), [metrics]),
+        ("manchester", ManchesterDecode(), [bits], n, True),
+        ("dpll", DPLLBitSync(16.0), [pulses], n, True),
+        ("acars", ACARSDecoder(), [metrics], n, True),
         ("peak_detector", PeakDetector(min_diff=0.1, look_ahead=0),
-         [power]),
+         [power_b], nb, False),
         ("radar_detector", RadarDetector(base_level=0.1, threshold_db=10.0),
-         [power]),
-        ("gate", Gate(threshold=0.5, trigger_length=32), [sig, power]),
+         [power_b], nb, False),
+        ("gate", Gate(threshold=0.5, trigger_length=32), [sig_b, power_b],
+         nb, False),
     ]
     which = os.environ.get("GRBAZ_DECODER", "")
     batch = int(os.environ.get("GRBAZ_DECODER_BATCH", "64"))
     results = []
-    for name, blk, inputs in cases:
+    for name, blk, inputs, bn, bench_bank in cases:
         if which and name != which:
             continue
         meta = StreamMeta.start(1e6)
         # numpy Streams: device-array closures are a readback trap
-        ins = [Stream(a, np.int32(n), meta) for a in inputs]
+        ins = [Stream(a, np.int32(bn), meta) for a in inputs]
         params = blk.init_params()
 
         def step(states, _params, _ins, blk=blk, ins=ins):
@@ -381,9 +388,11 @@ def bench_decoders():
         states = jax.tree_util.tree_map(jnp.asarray, blk.init_state())
         dt = _time_steps(jax, step, states, params, None, reps=16)
         results.append(dict(metric=f"decoder_{name}",
-                            value=round(n / dt / 1e6, 3), unit="Msamp/s",
-                            us_per_block=round(dt * 1e6, 1), block=n))
+                            value=round(bn / dt / 1e6, 3), unit="Msamp/s",
+                            us_per_block=round(dt * 1e6, 1), block=bn))
 
+        if not bench_bank:
+            continue
         # The TPU-native scaling story for per-sample FSMs: the scan's
         # per-step latency amortizes across a CHANNEL axis — one vmapped
         # scan decodes `batch` independent streams in near-constant
@@ -404,9 +413,9 @@ def bench_decoders():
             blk.init_state())
         dtb = _time_steps(jax, bstep, bstates, params, None, reps=16)
         results.append(dict(metric=f"decoder_{name}_x{batch}",
-                            value=round(batch * n / dtb / 1e6, 3),
+                            value=round(batch * bn / dtb / 1e6, 3),
                             unit="Msamp/s",
-                            us_per_block=round(dtb * 1e6, 1), block=n,
+                            us_per_block=round(dtb * 1e6, 1), block=bn,
                             channels=batch))
     return results
 
@@ -448,41 +457,49 @@ def _scan_time(jax, jnp, fn, x0, reps=256, trials=3):
 def bench_roofline():
     """Measured GFLOP/s + bound utilization for the two hot kernels.
 
-    Measures the PRODUCTION channelizer path (rotated-taps polyphase
-    FIR, the same kernel the WBFM chain runs — the banded Pallas kernel
-    measured 18x slower under honest timing and is no longer the
-    default) and the spectral path's batched FFT.
+    Measures the PRODUCTION channelizer path — the DEFAULT
+    rotate-then-filter kernel the WBFM chain runs at HEAD (full-rate
+    exact.oscillator + input rotation + fir_decimate_tail_block real-tap
+    polyphase matmuls at the chain's chan_precision='default' bf16; the
+    rotated-taps identity lost the r4 A/B 1220 vs 1637 and the banded
+    Pallas kernel measured slower still) — and the spectral path's
+    batched FFT.
     """
     jax = _setup_jax()
     import jax.numpy as jnp
-    from grbaz_tpu.ops.fir import (_fir_decimate_poly_ctaps, low_pass_taps,
+    from grbaz_tpu.ops import exact
+    from grbaz_tpu.ops.fir import (fir_decimate_tail_block, low_pass_taps,
                                    prepare_taps)
-    from grbaz_tpu.ops.pallas.wbfm_frontend import rotated_taps
 
     results = []
-    # -- production channelizer: rotated-taps polyphase FIR ---------------
+    # -- production channelizer: rotate-then-filter polyphase FIR ---------
     decim = 8
     taps = low_pass_taps(1.0, 3.2e6, 112.5e3, 75e3)
     h = prepare_taps(taps, decim)
     tpad = int(h.shape[0])
     n_new = BLOCK
-
-    @jax.jit
-    def mk_frame():
-        t = jnp.arange(n_new + tpad - 1, dtype=jnp.float32)
-        return jnp.exp(1j * 0.001 * t).astype(jnp.complex64)
-
-    frame = mk_frame()
     lo_inc = np.uint32(123456789)
 
-    def run(f):
-        g = rotated_taps(jnp.asarray(h, jnp.float32), jnp.uint32(lo_inc))
-        return _fir_decimate_poly_ctaps(f, g, decim)
+    @jax.jit
+    def mk_x():
+        t = jnp.arange(n_new, dtype=jnp.float32)
+        return jnp.exp(1j * 0.001 * t).astype(jnp.complex64)
 
-    best = _scan_time(jax, jnp, run, frame, reps=256)
+    x0 = mk_x()
+    tail0 = np.zeros((tpad,), np.complex64)
+
+    def run(x):
+        lo, _ph = exact.oscillator(n_new, jnp.uint32(0), jnp.uint32(lo_inc))
+        xr = x * lo
+        return fir_decimate_tail_block(
+            jnp.asarray(tail0), xr, jnp.asarray(h), decim,
+            precision=jax.lax.Precision.DEFAULT)
+
+    best = _scan_time(jax, jnp, run, x0, reps=256)
     n_out = n_new // decim
-    # useful complex MACs: n_out * tpad * (4 mul + 4 add) real flops
-    flops_useful = n_out * tpad * 8
+    # useful work: n_out*tpad complex MACs (8 real flops) + the
+    # full-rate rotate (6 flops/sample, transcendentals uncounted)
+    flops_useful = n_out * tpad * 8 + n_new * 6
     bytes_min = n_new * 8 + n_out * 8  # c64 in, c64 out
     gflops = flops_useful / best / 1e9
     results.append(dict(
@@ -652,10 +669,13 @@ def bench_ingest():
         if st.get("blocks_out", 0) >= 3:
             break
         time.sleep(1.0)
-    c0 = consumed[0]
+    # measure COMPLETED steps (blocks_out), not source pulls — with the
+    # pipelined runner the source runs ahead of completion by the
+    # pipeline depth, which would bias a consumed-samples count
+    st0 = pump.stats()
     t0 = time.time()
     time.sleep(float(os.environ.get("GRBAZ_INGEST_SECONDS", "10")))
-    dc = consumed[0] - c0
+    dc = (pump.stats()["blocks_out"] - st0["blocks_out"]) * block
     dt = time.time() - t0
     stop.set()
     pump.stop()
@@ -675,9 +695,13 @@ def bench_ingest():
     return dict(metric="host_ingest", value=dc / dt / 1e6, unit="Msamp/s",
                 pump=st, step_rtt_ms=round(step_rtt * 1e3, 1),
                 attachment_ceiling_msps=round(block / step_rtt / 1e6, 2),
-                note=("host-fed rate is bounded by the remote PJRT "
-                      "tunnel's per-step RTT (attachment artifact; "
-                      "device-resident chain rate is the wbfm metric)"))
+                note=("serialized per-step RTT through the remote PJRT "
+                      "tunnel sets the quoted ceiling; the pipelined "
+                      "pump (inflight dispatches) overlaps transfers "
+                      "with compute, so sustained can approach or "
+                      "exceed it. On a local-PCIe TPU host the "
+                      "transfer is microseconds and the device-"
+                      "resident chain rate is the bound that matters"))
 
 
 CONFIGS = dict(resampler_agc=bench_resampler_agc, wbfm=bench_wbfm,

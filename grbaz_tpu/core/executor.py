@@ -100,11 +100,20 @@ class StreamExecutor:
         return self
 
     # -- stepping ----------------------------------------------------------
-    def step(self, ins: Dict[str, np.ndarray],
-             counts: Optional[Dict[str, int]] = None,
-             params: Optional[Dict[str, Any]] = None
-             ) -> Dict[str, Tuple[np.ndarray, int]]:
-        """Process one block. Returns {out_port: (np_data, valid_count)}."""
+    def dispatch(self, ins: Dict[str, np.ndarray],
+                 counts: Optional[Dict[str, int]] = None,
+                 params: Optional[Dict[str, Any]] = None):
+        """Asynchronously dispatch one block; returns a pending handle
+        whose results arrive via :meth:`fetch`.
+
+        JAX dispatch is async, so several steps can be in flight — the
+        device chains them through the carried states while the host
+        overlaps the next upload with the previous compute. This is
+        what hides the per-step transfer RTT (124 ms through the remote
+        relay; the reference hides the same latency with its capture
+        ring, lib/baz_rtl_source_c.h:84-96). :class:`StreamPump` keeps
+        ``inflight`` handles pending.
+        """
         if self._states is None:
             self.reset()
         if params is not None:
@@ -128,10 +137,16 @@ class StreamExecutor:
             c = np.int32((counts or {}).get(name, x.shape[0]))
             cenc, _ = hostio.host_encode(c)
             counts_enc[name] = cenc
-        import time as _time
-        _t0 = _time.monotonic()
         self._states, outs_enc = self._io_step(
             self._states, params_enc, ins_enc, counts_enc)
+        self.stats["steps"] += 1
+        self.stats["samples_in"] += sum(
+            int((counts or {}).get(n, np.asarray(ins[n]).shape[0]))
+            for n in self._in_specs)
+        return outs_enc
+
+    def fetch(self, outs_enc) -> Dict[str, Tuple[np.ndarray, int]]:
+        """Block until a dispatched step's outputs are on the host."""
         result = {}
         for name, oe in outs_enc.items():
             data = hostio.host_decode(np.asarray(oe["data"]),
@@ -139,10 +154,16 @@ class StreamExecutor:
             count = int(hostio.host_decode(np.asarray(oe["count"]),
                                            hostio.IOSpec("int32", ())))
             result[name] = (data, count)
-        self.stats["steps"] += 1
-        self.stats["samples_in"] += sum(
-            int((counts or {}).get(n, np.asarray(ins[n]).shape[0]))
-            for n in self._in_specs)
+        return result
+
+    def step(self, ins: Dict[str, np.ndarray],
+             counts: Optional[Dict[str, int]] = None,
+             params: Optional[Dict[str, Any]] = None
+             ) -> Dict[str, Tuple[np.ndarray, int]]:
+        """Process one block. Returns {out_port: (np_data, valid_count)}."""
+        import time as _time
+        _t0 = _time.monotonic()
+        result = self.fetch(self.dispatch(ins, counts, params))
         self.stats["wall_time"] += _time.monotonic() - _t0
         return result
 

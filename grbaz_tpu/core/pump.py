@@ -11,8 +11,10 @@ double buffer):
 * the **feeder** pulls blocks from the source callable into the queue.
   A full queue applies back-pressure (blocking mode) or drops-oldest
   with an overrun counter (``drop=True`` — the real-time mode);
-* the **runner** steps the executor and hands each named output
-  ``(data, count)`` to its sink callback.
+* the **runner** steps the executor — keeping up to ``inflight``
+  asynchronously-dispatched steps pending so host transfers overlap
+  device compute (executor.dispatch/fetch) — and hands each named
+  output ``(data, count)`` to its sink callback.
 
 A source returning ``None`` means "no data yet": with
 ``zero_fill=True`` the pump feeds a zero block (underrun counter++) so
@@ -37,11 +39,12 @@ class StreamPump:
     def __init__(self, executor, source: Callable[[], Optional[dict]],
                  sinks: Dict[str, Callable], depth: int = 2,
                  drop: bool = False, zero_fill: bool = False,
-                 poll_interval: float = 0.002):
+                 poll_interval: float = 0.002, inflight: int = 3):
         self.ex = executor
         self.source = source
         self.sinks = dict(sinks)
         self.depth = max(1, int(depth))
+        self.inflight = max(1, int(inflight))
         self.drop = bool(drop)
         self.zero_fill = bool(zero_fill)
         self.poll = float(poll_interval)
@@ -119,16 +122,40 @@ class StreamPump:
             with self._lock:
                 self.blocks_in += 1
 
+    def _deliver(self, pending):
+        outs = self.ex.fetch(pending)
+        for name, sink in self.sinks.items():
+            if name in outs:
+                data, count = outs[name]
+                sink(data, count)
+        with self._lock:
+            self.blocks_out += 1
+
     def _run_loop(self):
+        # Pipelined stepping: keep up to `inflight` dispatched steps
+        # pending before fetching the oldest, so the host upload of
+        # block i+1..i+k overlaps the device compute and result
+        # download of block i. With a transfer RTT of R and a step
+        # compute of C, a depth-k pipeline sustains ~1/max(C, R/k)
+        # blocks/s instead of 1/(R + C) — this is what closes the gap
+        # to the measured attachment ceiling (BENCH r4: 0.72 of a 1.05
+        # Msamp/s ceiling at inflight=1).
+        from collections import deque
+        pend = deque()
         while self._run:
-            try:
-                blk = self._q.get(timeout=self.poll)
-            except queue.Empty:
-                continue
-            outs = self.ex.step(blk)
-            for name, sink in self.sinks.items():
-                if name in outs:
-                    data, count = outs[name]
-                    sink(data, count)
-            with self._lock:
-                self.blocks_out += 1
+            while len(pend) < self.inflight:
+                try:
+                    blk = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                pend.append(self.ex.dispatch(blk))
+            if pend:
+                self._deliver(pend.popleft())
+            else:
+                try:
+                    blk = self._q.get(timeout=self.poll)
+                except queue.Empty:
+                    continue
+                pend.append(self.ex.dispatch(blk))
+        while pend:  # drain in-flight work on stop
+            self._deliver(pend.popleft())

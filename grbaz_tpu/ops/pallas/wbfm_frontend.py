@@ -263,6 +263,137 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# v4 (r5): rotate-then-filter formulation — the kernel twin of the
+# PRODUCTION XLA path (exact.oscillator + input rotation +
+# fir_decimate_tail_block), which won r4's A/B against the rotated-taps
+# identity (1637 vs 1220 Msamp/s chain). The LO is synthesized INSIDE
+# the kernel per tile (uint32 turn phase -> sin/cos on the VPU), the
+# rotation happens in VMEM, and the polyphase contraction uses REAL tap
+# matrices — 2 MXU dots instead of the complex-tap form's 4. HBM sees
+# the input planes once and the decimated output once.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_rtf(sc_ref, zr_ref, zi_ref, h_ref, s_ref, zr_halo, zi_halo,
+                yr_ref, yi_ref, *, n_phases_pad: int, decim: int,
+                precision, tile2: int):
+    cpm = n_phases_pad
+    rpr = 128 // decim
+    zr = jnp.concatenate([zr_ref[:], zr_halo[:]], axis=0)
+    zi = jnp.concatenate([zi_ref[:], zi_halo[:]], axis=0)
+    rows = zr.shape[0]
+
+    # per-tile LO synthesis: sample index j -> uint32 turn phase
+    i = pl.program_id(0)
+    base = sc_ref[0]               # phase of frame sample 0
+    inc = sc_ref[1]
+    row = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+    j = (jnp.uint32(i) * jnp.uint32(tile2) + row) * jnp.uint32(128) + lane
+    ang = (base + j * inc).astype(jnp.float32) \
+        * jnp.float32(2.0 * np.pi / 4294967296.0)
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    wr = zr * c - zi * s
+    wi = zr * s + zi * c
+
+    def dot(a, b_mat):
+        return jnp.dot(a, b_mat, precision=precision,
+                       preferred_element_type=jnp.float32)
+
+    qr = _align_bands(dot(wr, h_ref[:]), n_phases_pad, cpm, rpr)
+    qi = _align_bands(dot(wi, h_ref[:]), n_phases_pad, cpm, rpr)
+    nr = yr_ref.shape[0]
+    yr_ref[:] = dot(qr[:nr], s_ref[:])
+    yi_ref[:] = dot(qi[:nr], s_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile2", "n_phases_pad", "decim", "precision", "interpret"))
+def _run_rtf(scal: jax.Array, zr2: jax.Array, zi2: jax.Array,
+             h_mat: jax.Array, s_mat: jax.Array, *, tile2: int,
+             n_phases_pad: int, decim: int, precision: str,
+             interpret: bool):
+    rpr = 128 // decim
+    r2 = zr2.shape[0] - 8
+    grid = r2 // tile2
+    prec = dict(default=jax.lax.Precision.DEFAULT,
+                high=jax.lax.Precision.HIGHEST,
+                highest=jax.lax.Precision.HIGHEST)[precision]
+    kern = functools.partial(_kernel_rtf, n_phases_pad=n_phases_pad,
+                             decim=decim, precision=prec, tile2=tile2)
+    scs = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
+    main = pl.BlockSpec((tile2, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((8, 128), lambda i: ((i + 1) * (tile2 // 8), 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((tile2, rpr), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[scs, main, main, const(h_mat), const(s_mat),
+                  halo, halo],
+        out_specs=(out, out),
+        out_shape=(jax.ShapeDtypeStruct((r2, rpr), jnp.float32),
+                   jax.ShapeDtypeStruct((r2, rpr), jnp.float32)),
+        interpret=interpret,
+    )(scal, zr2, zi2, h_mat, s_mat, zr2, zi2)
+    return yr, yi
+
+
+def xlating_fir_frame_pallas_rtf(frame: jax.Array, h_rev_pad,
+                                 decim: int, phase0: jax.Array,
+                                 lo_inc: jax.Array, *,
+                                 precision: str = "default",
+                                 interpret: bool = False) -> jax.Array:
+    """Rotate-then-filter channelizer kernel; ROTATED output.
+
+    Same contract as the production XLA path (exact.oscillator + rotate
+    + fir_decimate_tail_block): ``frame`` is complex64 with ``tpad-1``
+    leading UNROTATED history, ``phase0`` the uint32 turn phase of the
+    first NEW sample; returns the decimated rotated channel signal.
+    """
+    tpad = h_rev_pad.shape[0]
+    n_new = frame.shape[0] - (tpad - 1)
+    assert supported(n_new, decim), "unsupported shape for fused kernel"
+    n_out = n_new // decim
+    n_phases = tpad // decim
+    n_phases_pad = _round_up(n_phases, 4)
+    rpr = 128 // decim
+    assert n_phases_pad + rpr - 1 <= 8 * rpr
+
+    h_mat = packed_tap_matrix(jnp.asarray(h_rev_pad, jnp.float32),
+                              decim, n_phases_pad)
+    cpm = n_phases_pad
+    s_np = np.zeros((rpr * cpm, rpr), np.float32)
+    for gi in range(rpr):
+        s_np[gi * cpm + np.arange(cpm), gi] = 1.0
+    s_mat = jnp.asarray(s_np)
+
+    need = (n_out + 8 * rpr) * decim
+    pad = need - frame.shape[0]
+    fc = frame.astype(jnp.complex64)
+    if pad > 0:
+        fc = jnp.concatenate([fc, jnp.zeros((pad,), jnp.complex64)])
+    zr2 = fc.real.reshape(-1, 128)
+    zi2 = fc.imag.reshape(-1, 128)
+
+    # phase of frame sample 0 (history reaches tpad-1 samples back)
+    ph_f0 = phase0.astype(jnp.uint32) \
+        - jnp.uint32(tpad - 1) * lo_inc.astype(jnp.uint32)
+    scal = jnp.stack([ph_f0, lo_inc.astype(jnp.uint32)])
+
+    tile2 = _pick_tile2(n_out // rpr)
+    yr, yi = _run_rtf(scal, zr2, zi2, h_mat, s_mat, tile2=tile2,
+                      n_phases_pad=n_phases_pad, decim=decim,
+                      precision=precision, interpret=interpret)
+    return jax.lax.complex(yr.reshape(-1)[:n_out], yi.reshape(-1)[:n_out])
+
+
 def rotate_output(yf: jax.Array, phase0: jax.Array, lo_inc: jax.Array,
                   decim: int) -> jax.Array:
     """Apply the deferred output rotation exp(j*beta(k))."""

@@ -198,3 +198,38 @@ def test_retune_changes_station(rng):
     sp = np.abs(np.fft.rfft(d_right * np.hanning(len(d_right))))
     f_peak = np.argmax(sp) * (FS / DECIM) / len(d_right)
     assert abs(f_peak - 2e3) < 200.0
+
+
+def test_rtf_kernel_matches_production_path(rng):
+    """v4 rotate-then-filter kernel (interpret) == the production XLA
+    channelizer (oscillator + rotate + fir_decimate_tail_block),
+    including the carried-history phase convention."""
+    from grbaz_tpu.ops import exact
+    from grbaz_tpu.ops.fir import fir_decimate_tail_block
+    from grbaz_tpu.ops.pallas.wbfm_frontend import \
+        xlating_fir_frame_pallas_rtf
+
+    h = prepare_taps(_taps(), DECIM)
+    tpad = h.shape[0]
+    n_new = 1024 * DECIM
+    assert supported(n_new, DECIM)
+    x = jnp.asarray((rng.standard_normal(n_new)
+                     + 1j * rng.standard_normal(n_new))
+                    .astype(np.complex64))
+    tail = jnp.asarray((rng.standard_normal(tpad)
+                        + 1j * rng.standard_normal(tpad))
+                       .astype(np.complex64))
+    phase0 = jnp.uint32(987654321)
+    inc = jnp.uint32(123456789)
+
+    lo, _ = exact.oscillator(n_new, phase0, inc)
+    lo_t, _ = exact.oscillator(
+        tpad, phase0 - jnp.uint32(tpad) * inc, inc)
+    ref = fir_decimate_tail_block(tail * lo_t, x * lo, jnp.asarray(h),
+                                  DECIM,
+                                  precision=jax.lax.Precision.HIGHEST)
+    got = xlating_fir_frame_pallas_rtf(
+        jnp.concatenate([tail[1:], x]), h, DECIM, phase0, inc,
+        precision="highest", interpret=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-5 * scale
