@@ -194,6 +194,13 @@ class WBFMConfig:
     # TPU), 'pallas', or 'xla' (rotated-taps polyphase — the fastest
     # measured path on v5e under honest fetch-forced timing, r3).
     fused_backend: str = "auto"
+    # unfused channelizer backend: 'auto' = the x-aligned Pallas kernel
+    # on TPU (r5: 48 us vs 327 us XLA per 1M block — the XLA body is
+    # HBM-bound on its materialized partial products; the kernel keeps
+    # them in VMEM and reads x's plane views with zero copies), 'xla'
+    # to force the polyphase-matmul path (CPU default), 'pallas_xal'
+    # to force the kernel.
+    chan_backend: str = "auto"
     # channel-FIR matmul decomposition: 'default' = 1-pass bf16 — the
     # RTL source is an 8-bit ADC (~50 dB floor) and the bf16 filter
     # holds ~54 dB SNR, so full-f32 passes buy nothing the source can
@@ -235,7 +242,8 @@ def build_wbfm(cfg: WBFMConfig):
         low_pass_taps(1.0, fs, cfg.channel_width / 2 + cfg.transition / 2,
                       cfg.transition),
         decim, cfg.center_freq, fs, name="channel",
-        rotate_taps=cfg.rotate_taps, precision=cfg.chan_precision)
+        rotate_taps=cfg.rotate_taps, precision=cfg.chan_precision,
+        backend=cfg.chan_backend)
     demod = QuadratureDemod(quad / (2 * np.pi * cfg.max_deviation))
     resamp = FractionalResampler(cfg.block_size // decim, quad / cfg.audio_rate,
                                  dtype=jnp.float32, name="resampler")

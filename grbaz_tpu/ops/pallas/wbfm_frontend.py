@@ -275,6 +275,25 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _pick_tile2_rtf(r2: int) -> int:
+    """Packed-row tile for the v4 kernel. Grid-step fixed overhead
+    (~2-3 us/step) dominated the v3/v4.0 measurements (128 steps of
+    tile2=64 -> ~390 us floor with the kernel body near-empty), so v4
+    uses the largest tile that divides r2 — live buffers are a few
+    [tile2+8, 128] f32 planes, so even 1024 packed rows is ~4 MB of
+    VMEM, well under the 16 MB budget. GRBAZ_RTF_TILE2 overrides for
+    experiments."""
+    import os
+    env = os.environ.get("GRBAZ_RTF_TILE2")
+    if env:
+        t = int(env)
+    else:
+        t = min(r2, 1024)
+    while r2 % t or t % 8:
+        t //= 2
+    return max(t, 8)
+
+
 def _kernel_rtf(sc_ref, zr_ref, zi_ref, h_ref, s_ref, zr_halo, zi_halo,
                 yr_ref, yi_ref, *, n_phases_pad: int, decim: int,
                 precision, tile2: int):
@@ -284,17 +303,31 @@ def _kernel_rtf(sc_ref, zr_ref, zi_ref, h_ref, s_ref, zr_halo, zi_halo,
     zi = jnp.concatenate([zi_ref[:], zi_halo[:]], axis=0)
     rows = zr.shape[0]
 
-    # per-tile LO synthesis: sample index j -> uint32 turn phase
+    # Per-tile LO synthesis, outer-product factored: sample j = 128*r + l
+    # has phase base + j*inc = (base + r*128*inc) + l*inc, so
+    # lo(j) = lo_row(r) * lo_lane(l) — rows+128 transcendentals per tile
+    # instead of rows*128 (Mosaic sin/cos measured ~200 us/1M-block at
+    # full rate; the factored form is ~50x fewer). Both phase parts stay
+    # exact uint32 turns; only the f32 angle conversion rounds, same as
+    # the XLA path. (In XLA the same factorization LOST — it
+    # materializes the outer product to HBM; in VMEM it's free.)
+    # Mosaic has no u32->f32 cast; bitcast to i32 (sin/cos are 2pi-
+    # periodic, so the signed whole-turn shift is harmless).
     i = pl.program_id(0)
     base = sc_ref[0]               # phase of frame sample 0
     inc = sc_ref[1]
-    row = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
-    j = (jnp.uint32(i) * jnp.uint32(tile2) + row) * jnp.uint32(128) + lane
-    ang = (base + j * inc).astype(jnp.float32) \
-        * jnp.float32(2.0 * np.pi / 4294967296.0)
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
+    to_rad = jnp.float32(2.0 * np.pi / 4294967296.0)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
+    ph_r = base + (jnp.uint32(i) * jnp.uint32(tile2) + row) \
+        * (jnp.uint32(128) * inc)
+    ang_r = pltpu.bitcast(ph_r, jnp.int32).astype(jnp.float32) * to_rad
+    ang_l = pltpu.bitcast(lane * inc, jnp.int32).astype(jnp.float32) \
+        * to_rad
+    cr, sr = jnp.cos(ang_r), jnp.sin(ang_r)
+    cl, sl = jnp.cos(ang_l), jnp.sin(ang_l)
+    c = cr * cl - sr * sl
+    s = cr * sl + sr * cl
     wr = zr * c - zi * s
     wi = zr * s + zi * c
 
@@ -304,9 +337,20 @@ def _kernel_rtf(sc_ref, zr_ref, zi_ref, h_ref, s_ref, zr_halo, zi_halo,
 
     qr = _align_bands(dot(wr, h_ref[:]), n_phases_pad, cpm, rpr)
     qi = _align_bands(dot(wi, h_ref[:]), n_phases_pad, cpm, rpr)
-    nr = yr_ref.shape[0]
-    yr_ref[:] = dot(qr[:nr], s_ref[:])
-    yi_ref[:] = dot(qi[:nr], s_ref[:])
+    # TRANSPOSED output [rpr, tile2]: a [tile2, rpr] block has a 16-lane
+    # minor dim, which DMAs at ~64 B/row (the r4 narrow-block trap —
+    # measured ~100 us/1M-block of pure output-write cost); the
+    # transposed band-sum keeps the minor dim at tile2 lanes.
+    nr = yr_ref.shape[1]
+    dn = (((0,), (1,)), ((), ()))   # contract s rows with q lanes
+    yr_ref[:] = jax.lax.dot_general(s_ref[:], qr[:nr],
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
+    yi_ref[:] = jax.lax.dot_general(s_ref[:], qi[:nr],
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -330,7 +374,7 @@ def _run_rtf(scal: jax.Array, zr2: jax.Array, zi2: jax.Array,
                         memory_space=pltpu.VMEM)
     const = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((tile2, rpr), lambda i: (i, 0),
+    out = pl.BlockSpec((rpr, tile2), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         kern,
@@ -338,8 +382,8 @@ def _run_rtf(scal: jax.Array, zr2: jax.Array, zi2: jax.Array,
         in_specs=[scs, main, main, const(h_mat), const(s_mat),
                   halo, halo],
         out_specs=(out, out),
-        out_shape=(jax.ShapeDtypeStruct((r2, rpr), jnp.float32),
-                   jax.ShapeDtypeStruct((r2, rpr), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((rpr, r2), jnp.float32),
+                   jax.ShapeDtypeStruct((rpr, r2), jnp.float32)),
         interpret=interpret,
     )(scal, zr2, zi2, h_mat, s_mat, zr2, zi2)
     return yr, yi
@@ -387,11 +431,238 @@ def xlating_fir_frame_pallas_rtf(frame: jax.Array, h_rev_pad,
         - jnp.uint32(tpad - 1) * lo_inc.astype(jnp.uint32)
     scal = jnp.stack([ph_f0, lo_inc.astype(jnp.uint32)])
 
-    tile2 = _pick_tile2(n_out // rpr)
+    tile2 = _pick_tile2_rtf(n_out // rpr)
     yr, yi = _run_rtf(scal, zr2, zi2, h_mat, s_mat, tile2=tile2,
                       n_phases_pad=n_phases_pad, decim=decim,
                       precision=precision, interpret=interpret)
-    return jax.lax.complex(yr.reshape(-1)[:n_out], yi.reshape(-1)[:n_out])
+    # outputs come back transposed [rpr, r2] (128-lane write blocks);
+    # k = r*rpr + g  ->  y = transpose + flatten (XLA-side, fuses into
+    # the consumer)
+    return jax.lax.complex(yr.T.reshape(-1)[:n_out],
+                           yi.T.reshape(-1)[:n_out])
+
+
+# ---------------------------------------------------------------------------
+# v5 (r5): x-ALIGNED rotate-then-filter — zero XLA-side copies.
+#
+# The v4 kernel was measured at ~42 us/1M-block — but only when its
+# input planes arrive in [rows, 128] layout. Fed from the streaming
+# frame (concat(tail, x) + pad, misaligned by tpad-1), the XLA-side
+# copies and relayouts cost ~350 us, swamping the kernel. v5 removes
+# every copy: the kernel reads x's own planes ([n/128, 128] reshape of
+# the block — layout-identical), the carried tail rides a tiny [8,128]
+# operand selected into grid step 0's backward halo, and the
+# tail/x sample offset (history length tpad-1 = MD-1) folds into the
+# tap matrix as a shifted-column + wrap-column pair (the
+# fir_decimate_tail_block A|B trick, lib-free in packed form):
+#
+#     y[k] = sum_{m,c} h2[m, c] x[D(k + m - M) + c + 1]
+#          = sum_{b=0..M} qc[k - b, b]      (combined A|B bands)
+#
+# with qc = z @ Tc one matmul per plane and the band alignment running
+# BACKWARD (output row r reads q rows r-1, r — the pre-halo).
+# ---------------------------------------------------------------------------
+
+
+def _align_bands_back(q, nbands_pad: int, cpm: int, rpr: int):
+    """Aligned[r, g*cpm + m] = Q[(r*rpr + g - m) folded, m]."""
+    n_rows, n_lanes = q.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    g = lane // cpm
+    m = lane % cpm
+    b = 1
+    while b < nbands_pad:
+        if b % rpr == 0:
+            rolled = pltpu.roll(q, b // rpr, 0)
+        else:
+            sh = (b * cpm) % n_lanes
+            a_same = pltpu.roll(q, sh, 1)
+            a_prev = pltpu.roll(pltpu.roll(q, 1, 0), sh, 1)
+            rolled = jnp.where((g - (b % rpr)) < 0, a_prev, a_same)
+        q = jnp.where((m & b) != 0, rolled, q)
+        b <<= 1
+    return q
+
+
+def xaligned_tap_matrix(h_rev_pad, decim: int, nbands_pad: int):
+    """Packed A|B tap matrix for the x-aligned formulation.
+
+    Band b of output k accumulates taps applied to x polyphase row
+    k - b: Tc[g*decim + i, g*cpm + b] = h2[M-b, i-1] (shifted columns,
+    i >= 1, b >= 1) + h2[M-b-1, decim-1] for i == 0 (the wrap column),
+    where h2[m, c] = h_rev_pad[m*decim + c] and M = tpad/decim.
+    """
+    h_rev_pad = np.asarray(h_rev_pad, np.float32)
+    tpad = h_rev_pad.shape[0]
+    m_ph = tpad // decim
+    rpr = 128 // decim
+    cpm = nbands_pad
+    h2 = h_rev_pad.reshape(m_ph, decim)
+    t = np.zeros((128, rpr * cpm), np.float32)
+    for g in range(rpr):
+        for i in range(decim):
+            for b in range(cpm):
+                v = 0.0
+                mm = m_ph - b          # A part: m = M - b
+                if i >= 1 and 0 <= mm < m_ph:
+                    v += h2[mm, i - 1]
+                mb = m_ph - b - 1      # B part: wrap column of band b
+                if i == 0 and 0 <= mb < m_ph:
+                    v += h2[mb, decim - 1]
+                t[g * decim + i, g * cpm + b] = v
+    return t
+
+
+def _kernel_xal(sc_ref, zr_ref, zi_ref, pr_r, pr_i, t8r, t8i,
+                h_ref, s_ref, yr_ref, yi_ref, *, nbands_pad: int,
+                decim: int, precision, tile2: int):
+    cpm = nbands_pad
+    rpr = 128 // decim
+    i = pl.program_id(0)
+    # backward halo: 8 packed rows before the tile; grid step 0 takes
+    # the carried tail block instead
+    use_t8 = (i == 0)
+    pre_r = jnp.where(use_t8, t8r[:], pr_r[:])
+    pre_i = jnp.where(use_t8, t8i[:], pr_i[:])
+    zr = jnp.concatenate([pre_r, zr_ref[:]], axis=0)
+    zi = jnp.concatenate([pre_i, zi_ref[:]], axis=0)
+    rows = zr.shape[0]
+
+    # outer-product LO synthesis on x-aligned sample indices: row rr of
+    # the concatenated tile is x packed row (i*tile2 + rr - 8), which
+    # is NEGATIVE for step 0's tail rows — uint32 turn arithmetic wraps
+    # correctly through the bitcast.
+    base = sc_ref[0]
+    inc = sc_ref[1]
+    to_rad = jnp.float32(2.0 * np.pi / 4294967296.0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    j_row = (jnp.int32(i) * jnp.int32(tile2) + row_i
+             - jnp.int32(8)) * jnp.int32(128)
+    ph_r = base + pltpu.bitcast(j_row, jnp.uint32) * inc
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
+    ang_r = pltpu.bitcast(ph_r, jnp.int32).astype(jnp.float32) * to_rad
+    ang_l = pltpu.bitcast(lane * inc, jnp.int32).astype(jnp.float32) \
+        * to_rad
+    cr, sr = jnp.cos(ang_r), jnp.sin(ang_r)
+    cl, sl = jnp.cos(ang_l), jnp.sin(ang_l)
+    c = cr * cl - sr * sl
+    s = cr * sl + sr * cl
+    wr = zr * c - zi * s
+    wi = zr * s + zi * c
+
+    def dot(a, b_mat):
+        return jnp.dot(a, b_mat, precision=precision,
+                       preferred_element_type=jnp.float32)
+
+    qr = _align_bands_back(dot(wr, h_ref[:]), nbands_pad, cpm, rpr)
+    qi = _align_bands_back(dot(wi, h_ref[:]), nbands_pad, cpm, rpr)
+    nr = yr_ref.shape[1]
+    dn = (((0,), (1,)), ((), ()))   # transposed band sum (128-lane out)
+    yr_ref[:] = jax.lax.dot_general(s_ref[:], qr[8:8 + nr],
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
+    yi_ref[:] = jax.lax.dot_general(s_ref[:], qi[8:8 + nr],
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile2", "nbands_pad", "decim", "precision", "interpret"))
+def _run_xal(scal, zr2, zi2, t8r, t8i, h_mat, s_mat, *, tile2: int,
+             nbands_pad: int, decim: int, precision: str,
+             interpret: bool):
+    rpr = 128 // decim
+    r2 = zr2.shape[0]
+    grid = r2 // tile2
+    prec = dict(default=jax.lax.Precision.DEFAULT,
+                high=jax.lax.Precision.HIGHEST,
+                highest=jax.lax.Precision.HIGHEST)[precision]
+    kern = functools.partial(_kernel_xal, nbands_pad=nbands_pad,
+                             decim=decim, precision=prec, tile2=tile2)
+    scs = pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM)
+    main = pl.BlockSpec((tile2, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    # pre-halo: the 8 packed rows before the tile (clamped at step 0 —
+    # the kernel substitutes the tail operand there)
+    pre = pl.BlockSpec(
+        (8, 128),
+        lambda i: (jnp.maximum(i * (tile2 // 8) - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    const = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((rpr, tile2), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[scs, main, main, pre, pre, const(t8r), const(t8i),
+                  const(h_mat), const(s_mat)],
+        out_specs=(out, out),
+        out_shape=(jax.ShapeDtypeStruct((rpr, r2), jnp.float32),
+                   jax.ShapeDtypeStruct((rpr, r2), jnp.float32)),
+        interpret=interpret,
+    )(scal, zr2, zi2, zr2, zi2, t8r, t8i, h_mat, s_mat)
+    return yr, yi
+
+
+def xlating_fir_block_pallas_xal(x: jax.Array, tail: jax.Array,
+                                 h_rev_pad, decim: int,
+                                 phase0: jax.Array, lo_inc: jax.Array, *,
+                                 precision: str = "default",
+                                 interpret: bool = False) -> jax.Array:
+    """x-aligned rotate-then-filter channelizer; ROTATED output.
+
+    ``x`` is the NEW block (no history concat — its [n/128, 128] plane
+    views go straight to the kernel); ``tail`` carries the previous
+    TPAD samples (fir_decimate_tail_block convention: tail[1:] is the
+    filter history); ``phase0`` is the uint32 turn phase of x[0].
+    Returns the n/decim rotated channel outputs, equal to the
+    production XLA path up to f32 regrouping.
+    """
+    tpad = h_rev_pad.shape[0]
+    n = x.shape[0]
+    assert supported(n, decim), "unsupported shape for fused kernel"
+    assert n % 128 == 0
+    n_out = n // decim
+    m_ph = tpad // decim
+    nbands = m_ph + 1
+    nbands_pad = _round_up(nbands, 4)
+    rpr = 128 // decim
+    assert nbands_pad <= cpm_limit(rpr), "tap span exceeds halo budget"
+
+    h_mat = jnp.asarray(xaligned_tap_matrix(h_rev_pad, decim, nbands_pad))
+    cpm = nbands_pad
+    s_np = np.zeros((rpr * cpm, rpr), np.float32)
+    for gi in range(rpr):
+        s_np[gi * cpm + np.arange(cpm), gi] = 1.0
+    s_mat = jnp.asarray(s_np)
+
+    xc = x.astype(jnp.complex64)
+    zr2 = xc.real.reshape(-1, 128)
+    zi2 = xc.imag.reshape(-1, 128)
+    # tail block: 8 packed rows ending just before x[0] — the last
+    # tpad-1 lanes carry tail[1:], everything earlier is never read
+    # (bands reach back at most tpad-1 samples)
+    t8 = jnp.zeros((1024,), jnp.complex64).at[1024 - (tpad - 1):].set(
+        tail.astype(jnp.complex64)[1:])
+    t8r = t8.real.reshape(8, 128)
+    t8i = t8.imag.reshape(8, 128)
+
+    scal = jnp.stack([phase0.astype(jnp.uint32),
+                      lo_inc.astype(jnp.uint32)])
+    tile2 = _pick_tile2_rtf(n // 128)
+    yr, yi = _run_xal(scal, zr2, zi2, t8r, t8i, h_mat, s_mat,
+                      tile2=tile2, nbands_pad=nbands_pad, decim=decim,
+                      precision=precision, interpret=interpret)
+    return jax.lax.complex(yr.T.reshape(-1)[:n_out],
+                           yi.T.reshape(-1)[:n_out])
+
+
+def cpm_limit(rpr: int) -> int:
+    """Backward band reach must stay within one packed pre-row block."""
+    return 8 * rpr
 
 
 def rotate_output(yf: jax.Array, phase0: jax.Array, lo_inc: jax.Array,

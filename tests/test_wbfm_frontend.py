@@ -233,3 +233,35 @@ def test_rtf_kernel_matches_production_path(rng):
         precision="highest", interpret=True)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-5 * scale
+
+
+def test_xal_kernel_matches_production_path(rng):
+    """v5 x-aligned kernel (interpret) == the production XLA
+    channelizer including tail/head handling and uint32 phase chaining
+    across multiple streaming blocks."""
+    from grbaz_tpu.core.stream import Stream
+    from grbaz_tpu.ops.fir import FreqXlatingFIRDecimator
+
+    n = 1024 * DECIM
+    taps = _taps()
+    blocks = 3
+    x = (rng.standard_normal(n * blocks)
+         + 1j * rng.standard_normal(n * blocks)).astype(np.complex64)
+
+    def run(backend, interpret=False):
+        blk = FreqXlatingFIRDecimator(taps, DECIM, 250e3, FS,
+                                      backend=backend, interpret=interpret,
+                                      precision="highest")
+        st, pr = blk.init_state(), blk.init_params()
+        st = jax.tree_util.tree_map(jnp.asarray, st)
+        out = []
+        for b in range(blocks):
+            s = Stream.full(jnp.asarray(x[b * n:(b + 1) * n]))
+            st, (y,) = blk.apply(st, pr, s)
+            out.append(np.asarray(y.data))
+        return np.concatenate(out)
+
+    ref = run("xla")
+    got = run("pallas_xal", interpret=True)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 1e-5 * scale
