@@ -175,7 +175,7 @@ def bench_wbfm():
     import jax.numpy as jnp
     from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
 
-    cfg = WBFMConfig(block_size=BLOCK)
+    cfg = WBFMConfig(block_size=BLOCK, audio_chain="cascade")
     fg, _ = build_wbfm(cfg)
     step = fg.build_step()
     params = fg.init_params()

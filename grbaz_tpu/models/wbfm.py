@@ -194,6 +194,28 @@ class WBFMConfig:
     # TPU), 'pallas', or 'xla' (rotated-taps polyphase — the fastest
     # measured path on v5e under honest fetch-forced timing, r3).
     fused_backend: str = "auto"
+    # audio-rate conversion structure: 'fractional' = the single
+    # MMSE fractional resampler at quad rate (the reference's
+    # fractional_resampler_cc shape — and its aliasing behavior: an
+    # 8-tap interpolator is not an anti-alias filter for an 8.3x rate
+    # drop); 'cascade' = anti-alias FIR decimation by floor(quad/audio)
+    # on the polyphase-matmul machine, then the fractional resampler
+    # for the small residual ratio (25/24 for the flagship numbers) at
+    # 1/8 the rate. The cascade both filters properly and cuts the
+    # resampler stage ~5x (the fractional stage's cost scales with its
+    # output capacity; measured r5: 230 us -> ~40 us per 1M chain
+    # block). Default 'fractional' for exact behavior parity with
+    # earlier rounds; the flagship bench runs 'cascade'.
+    audio_chain: str = "fractional"
+    # cascade integer pre-decimation factor; None = floor(quad/audio).
+    # Audio-path SINAD on a clean tone (blackman-harris-windowed
+    # estimator — a hann ±3-bin estimator reads its own ~-45 dB leakage
+    # floor, a trap that burned r5's first quality A/B): AA alone 98 dB;
+    # cascade 71 dB (d2=8) / 76 dB (d2=4) vs single-stage fractional
+    # 78 dB — all far beyond the RTL source's 8-bit (~50 dB) floor, and
+    # the cascade actually FILTERS the 24k..200k demod noise that the
+    # single MMSE stage aliases into the audio band on real signals.
+    audio_aa_decim: Optional[int] = None
     # unfused channelizer backend: 'auto' = the x-aligned Pallas kernel
     # on TPU (r5: 48 us vs 327 us XLA per 1M block — the XLA body is
     # HBM-bound on its materialized partial products; the kernel keeps
@@ -245,17 +267,41 @@ def build_wbfm(cfg: WBFMConfig):
         rotate_taps=cfg.rotate_taps, precision=cfg.chan_precision,
         backend=cfg.chan_backend)
     demod = QuadratureDemod(quad / (2 * np.pi * cfg.max_deviation))
-    resamp = FractionalResampler(cfg.block_size // decim, quad / cfg.audio_rate,
-                                 dtype=jnp.float32, name="resampler")
     deemph = FMDeemphasis(cfg.audio_rate, cfg.deemph_tau)
     fg.input("iq", chan)
-    handles = dict(channel=chan, resampler=resamp)
+    handles = dict(channel=chan)
+
+    d2 = cfg.audio_aa_decim or int(quad // cfg.audio_rate)
+    use_cascade = (cfg.audio_chain == "cascade" and d2 >= 2
+                   and (cfg.block_size // decim) % d2 == 0)
+    if cfg.audio_chain == "cascade" and not use_cascade:
+        raise ValueError("cascade audio chain needs quad/audio >= 2 and "
+                         "a block divisible by the integer factor")
+    if use_cascade:
+        from grbaz_tpu.ops.fir import FIRDecimator
+        mid = quad / d2
+        aa = FIRDecimator(
+            low_pass_taps(1.0, quad, 0.45 * cfg.audio_rate,
+                          0.2 * cfg.audio_rate, window="blackmanharris"),
+            d2, dtype=jnp.float32, name="audio_aa")
+        resamp = FractionalResampler(cfg.block_size // decim // d2,
+                                     mid / cfg.audio_rate,
+                                     dtype=jnp.float32, name="resampler")
+        audio_stages = [aa, resamp]
+        handles["audio_aa"] = aa
+    else:
+        resamp = FractionalResampler(cfg.block_size // decim,
+                                     quad / cfg.audio_rate,
+                                     dtype=jnp.float32, name="resampler")
+        audio_stages = [resamp]
+    handles["resampler"] = resamp
+
     if cfg.squelch_db is not None:
         sq = PowerSquelch(cfg.squelch_db, name="squelch")
-        fg.chain(chan, sq, demod, resamp, deemph)
+        fg.chain(chan, sq, demod, *audio_stages, deemph)
         handles["squelch"] = sq
     else:
-        fg.chain(chan, demod, resamp, deemph)
+        fg.chain(chan, demod, *audio_stages, deemph)
     fg.output("audio", deemph)
     fg.output("quad", demod)  # demodulated quad-rate tap (scanner use)
     return fg, handles

@@ -169,38 +169,27 @@ def resample_block_rational(frame: jax.Array, mu_int: jax.Array,
     # misalign the clamped dynamic slices below -> generic path
     ok = jnp.all(matched | ~valid) & (mu_int >= 0) & (mu_int <= _MU_SLACK)
 
-    # candidate taps rows: r = u*9 + (db+1)*3 + (d+1) -> [9q, _RW]
-    n_rows = 9 * q
+    # Effective taps by exact structure (r5 rework): bins[k] =
+    # b_u[u_k] + db[k] with db in {-1,0,1}, and the window shift d[k]
+    # in {-1,0,1}. Build THREE tiled tap candidates (the per-residue
+    # rows at bin offsets -1/0/+1 — a [q, NTAPS] gather with traced
+    # indices, tiny), select per output by db, then take three
+    # row-shifted dot products against the window planes and select by
+    # d. Everything lives on WIDE [NTAPS, cap] layouts — no [cap]-row
+    # gathers and no one-hot matmul (the r4 [_RW, 9q]x[9q, cap]
+    # HIGHEST one-hot form measured ~100 us/1M-block by itself, and
+    # [cap, _RW] layouts lane-pad 10 -> 128, ~13x their logical bytes).
     tt = jnp.asarray(taps_table)
     n_bins = tt.shape[0]
-    u_r = np.arange(n_rows, dtype=np.int32) // 9
-    db_r = (np.arange(n_rows, dtype=np.int32) % 9) // 3 - 1
-    d_r = np.arange(n_rows, dtype=np.int32) % 3 - 1
-    bin_r = jnp.clip(b_u[jnp.asarray(u_r)] + jnp.asarray(db_r), 0,
-                     n_bins - 1)
-    base_rows = tt[bin_r]                                 # [9q, NTAPS]
-    # place at offset d+1 within _RW lanes
-    rows = jnp.zeros((n_rows, _RW), jnp.float32)
-    for off in (0, 1, 2):
-        sel = (np.asarray(d_r) + 1) == off
-        rows = rows.at[np.where(sel)[0], off:off + NTAPS].set(
-            base_rows[np.where(sel)[0]])
 
-    combo = (jnp.asarray(u_k) * 9 + (db + 1) * 3 + (d + 1))
-    combo = jnp.clip(combo, 0, n_rows - 1)
-    if n_rows <= 32:
-        # small candidate set: one-hot matmul keeps everything dense
-        onehot = (combo[:, None]
-                  == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.float32)
-        taps_eff = jnp.dot(onehot, rows,
-                           precision=jax.lax.Precision.HIGHEST)
-    else:
-        # large q (e.g. 125/24): the one-hot operand would be
-        # cap x 9q floats — a [cap]-row gather from the tiny candidate
-        # table is far cheaper than the elementwise window gather this
-        # path replaces
-        taps_eff = rows[combo]  # [cap, _RW]
+    def tile_t(tq):                      # [q, NTAPS] -> [NTAPS, cap]
+        return jnp.tile(tq.T, (1, nj))[:, :cap]
+
+    t_cand = [tile_t(tt[jnp.clip(b_u + s, 0, n_bins - 1)])
+              for s in (-1, 0, 1)]
+    db_c = db[None, :]
+    t_sel = jnp.where(db_c == -1, t_cand[0],
+                      jnp.where(db_c == 0, t_cand[1], t_cand[2]))
 
     # windows via q strided reshapes of the (+1 front-padded) frame
     need = _MU_SLACK + int(np.max(s_k[:q])) + nj * p + _RW
@@ -209,25 +198,30 @@ def resample_block_rational(frame: jax.Array, mu_int: jax.Array,
                           jnp.zeros((pad_back,), frame.dtype)])
     mu_c = jnp.clip(mu_int, 0, _MU_SLACK)
 
-    def windows_of(fp_plane):
+    def windows_of_t(fp_plane):
         per_u = []
         for u in range(q):
             start = mu_c + jnp.int32(int(s_k[u]))
             seg = jax.lax.dynamic_slice_in_dim(fp_plane, start, nj * p)
-            per_u.append(seg.reshape(nj, p)[:, :_RW])
-        w = jnp.stack(per_u, axis=1).reshape(nj * q, _RW)[:cap]
-        return w
+            # [p, nj] transpose keeps the long axis minor; rows > _RW
+            # are dead (sliced) before they cost anything
+            per_u.append(seg.reshape(nj, p).T[:_RW])       # [_RW, nj]
+        w = jnp.stack(per_u, axis=2)                       # [_RW, nj, q]
+        return w.reshape(_RW, nj * q)[:, :cap]
 
-    def dot_w(w_plane):
-        return jnp.sum(w_plane * taps_eff, axis=1)
+    def dot_w(w_plane_t):
+        cands = [jnp.sum(w_plane_t[1 + dv:1 + dv + NTAPS] * t_sel,
+                         axis=0) for dv in (-1, 0, 1)]
+        return jnp.where(d == -1, cands[0],
+                         jnp.where(d == 0, cands[1], cands[2]))
 
     def fast():
         if jnp.iscomplexobj(frame):
-            yr = dot_w(windows_of(fp.real))
-            yi = dot_w(windows_of(fp.imag))
+            yr = dot_w(windows_of_t(fp.real))
+            yi = dot_w(windows_of_t(fp.imag))
             y = (yr + 1j * yi).astype(frame.dtype)
         else:
-            y = dot_w(windows_of(fp)).astype(frame.dtype)
+            y = dot_w(windows_of_t(fp)).astype(frame.dtype)
         return jnp.where(valid, y, jnp.zeros((), frame.dtype))
 
     def slow():
