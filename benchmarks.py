@@ -457,13 +457,11 @@ def _scan_time(jax, jnp, fn, x0, reps=256, trials=3):
 def bench_roofline():
     """Measured GFLOP/s + bound utilization for the two hot kernels.
 
-    Measures the PRODUCTION channelizer path — the DEFAULT
-    rotate-then-filter kernel the WBFM chain runs at HEAD (full-rate
-    exact.oscillator + input rotation + fir_decimate_tail_block real-tap
-    polyphase matmuls at the chain's chan_precision='default' bf16; the
-    rotated-taps identity lost the r4 A/B 1220 vs 1637 and the banded
-    Pallas kernel measured slower still) — and the spectral path's
-    batched FFT.
+    Measures the PRODUCTION channelizer path the WBFM chain runs at
+    HEAD — on TPU, the x-aligned rotate-then-filter Pallas kernel
+    (chan_backend='auto'; the chain's bf16 'default' precision); on
+    CPU, the XLA fallback (oscillator + fir_decimate_tail_block) —
+    and the spectral path's batched FFT.
     """
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -488,12 +486,23 @@ def bench_roofline():
     x0 = mk_x()
     tail0 = np.zeros((tpad,), np.complex64)
 
-    def run(x):
-        lo, _ph = exact.oscillator(n_new, jnp.uint32(0), jnp.uint32(lo_inc))
-        xr = x * lo
-        return fir_decimate_tail_block(
-            jnp.asarray(tail0), xr, jnp.asarray(h), decim,
-            precision=jax.lax.Precision.DEFAULT)
+    if jax.default_backend() in ("tpu", "axon"):
+        # the production channelizer on TPU: the x-aligned Pallas kernel
+        from grbaz_tpu.ops.pallas.wbfm_frontend import \
+            xlating_fir_block_pallas_xal
+
+        def run(x):
+            return xlating_fir_block_pallas_xal(
+                x, jnp.asarray(tail0), h, decim, jnp.uint32(0),
+                jnp.uint32(lo_inc), precision="default")
+    else:
+        def run(x):
+            lo, _ph = exact.oscillator(n_new, jnp.uint32(0),
+                                       jnp.uint32(lo_inc))
+            xr = x * lo
+            return fir_decimate_tail_block(
+                jnp.asarray(tail0), xr, jnp.asarray(h), decim,
+                precision=jax.lax.Precision.DEFAULT)
 
     best = _scan_time(jax, jnp, run, x0, reps=256)
     n_out = n_new // decim
@@ -623,7 +632,13 @@ def bench_ingest():
     from grbaz_tpu.net.udp import UDPSampleReceiver, UDPSampleSender
 
     fs = 3.2e6
-    block = 1 << 17
+    # 1M blocks amortize the remote relay's per-step round trip (~130 ms
+    # regardless of queue depth — measured: dispatch returns in 1 ms,
+    # but queued steps EXECUTE serially through the tunnel, so the
+    # pump's inflight pipeline cannot overlap them; on local PCIe it
+    # does). 1M @ 130 ms clears the 3.2 Msamp/s RTL real-time bar
+    # through the tunnel with margin.
+    block = 1 << int(os.environ.get("GRBAZ_INGEST_BLOCK_LOG2", "20"))
     cfg = WBFMConfig(sample_rate=fs, center_freq=0.0, block_size=block)
     fg, _ = build_wbfm(cfg)
     ex = StreamExecutor(fg, {"iq": InputSpec((block,), "complex64", fs)})

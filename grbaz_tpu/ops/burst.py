@@ -49,20 +49,25 @@ def decode_abs_events(rows, count=None) -> np.ndarray:
 def _event_pack(emits, rows, cap):
     """Compact per-sample event rows [n, F] into [cap, F] + count.
 
-    The scatter runs in uint32 bit-space: event rows may carry BITCAST
-    integer fields (limb pairs), and float scatter-add would quiet an
-    sNaN-patterned limb (0.0 + sNaN != same bits). Integer adds of the
-    zero contributions preserve every payload exactly. Rows past ``cap``
-    land (wrapped-added) in the last slot — count is clamped, so only an
-    overflowing block's final slot is unreliable.
+    Selection by ``top_k`` over negated emit positions + a [cap]-row
+    gather — NOT a full-length scatter: a [n]-row scatter-add runs
+    element-at-a-time on TPU and measured ~10 ms for a 1M block (it was
+    the entire cost of the block-parallel Gate). The gather preserves
+    BITCAST integer payload fields (limb pairs) bit-exactly. Rows past
+    ``cap`` are dropped; count is clamped.
     """
-    pos = jnp.cumsum(emits.astype(jnp.int32)) - 1
-    slot = jnp.where(emits, jnp.clip(pos, 0, cap - 1), cap - 1)
-    rows_bits = f32_to_bits(rows.astype(jnp.float32))
-    out_bits = jnp.zeros((cap, rows.shape[1]), jnp.uint32).at[slot].add(
-        jnp.where(emits[:, None], rows_bits, jnp.uint32(0)))
-    return bits_to_f32(out_bits), \
-        jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
+    n = emits.shape[0]
+    k = min(cap, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(emits, idx, jnp.int32(n))
+    neg, sel = jax.lax.top_k(-keys, k)         # first k emit positions
+    sel = jnp.where(-neg < n, sel, 0)
+    valid = (-neg) < n
+    out = jnp.where(valid[:, None], rows.astype(jnp.float32)[sel], 0.0)
+    if k < cap:
+        out = jnp.concatenate(
+            [out, jnp.zeros((cap - k, rows.shape[1]), jnp.float32)])
+    return out, jnp.minimum(jnp.sum(emits.astype(jnp.int32)), cap)
 
 
 class TimeKeeper(Block):

@@ -97,13 +97,16 @@ class PeakDetector(Block):
             return self._apply_scan(state, params, x)
         from grbaz_tpu.ops.iir import onepole_scan
         from grbaz_tpu.ops.segments import (NO_POS, running_last_true,
+                                            seg_prefix_max,
                                             seg_prefix_maxpos)
         md, ml = jnp.float32(self.min_diff), jnp.int32(self.min_len)
         drop, alpha = self.drop, self.alpha
         thr = params["threshold"]
         neg_inf = jnp.float32(-np.inf)
 
-        xf = x.data.astype(jnp.float32)
+        # jnp-wrap: numpy-fed Streams (bench/host paths) would fail the
+        # traced-index gather at first_arr below
+        xf = jnp.asarray(x.data).astype(jnp.float32)
         n = xf.shape[0]
         idx = jnp.arange(n, dtype=jnp.int32)
         base = state["global_idx"]
@@ -151,26 +154,62 @@ class PeakDetector(Block):
 
         qual = (rc_at >= ml) & ((pv - first_arr) >= md)
         emits = end_e & qual
-        poss = pp
 
-        # previous-peak chain for idx_diff (emission positions are
+        # Scatter-free mark construction (a [n]-element scatter runs
+        # element-at-a-time on TPU — measured ~10 ms/1M block): sample
+        # i is marked iff it is the FINAL first-max of a segment whose
+        # end edge emits —
+        #   (a) running first-max at i:   pp[i] == gidx[i] (in-rise),
+        #   (b) nothing strictly greater later in the segment
+        #       (reverse blocked segmented suffix max),
+        #   (c) the segment's end edge emits (emit bit propagated
+        #       backward over the segment).
+        from grbaz_tpu.ops.segments import _cummax_blocked
+        last_in_seg = cond & ~jnp.concatenate([cond[1:],
+                                               jnp.zeros((1,), bool)])
+        rst_rev = last_in_seg[::-1]
+        vals_seg = jnp.where(cond, xf, neg_inf)
+        suf = seg_prefix_max(rst_rev, vals_seg[::-1])[::-1]
+        later = jnp.concatenate([suf[1:], jnp.full((1,), -np.inf,
+                                                   jnp.float32)])
+        later = jnp.where(jnp.concatenate([cond[1:],
+                                           jnp.zeros((1,), bool)]),
+                          later, neg_inf)
+        emit_on_last = jnp.concatenate([emits[1:],
+                                        jnp.zeros((1,), bool)])
+        eback = seg_prefix_max(
+            rst_rev, emit_on_last[::-1].astype(jnp.int32))[::-1] > 0
+        marks_b = cond & (pp == gidx) & (later <= xf) & eback
+
+        # carried-segment emission whose peak lies in a PREVIOUS block:
+        # mark sample 0 (the serial mirror clips the out-of-block
+        # position to 0)
+        carried_emit = emits & (pp < base)
+        m0 = jnp.any(carried_emit)
+        pos0 = jnp.max(jnp.where(carried_emit, pp, jnp.int32(NO_POS)))
+
+        # previous-peak chain for idx_diff (marked positions are
         # monotone, so "last emitted peak before me" is a running max)
         seed_last = jnp.where(state["last_peak_global"] >= 0,
                               state["last_peak_global"], jnp.int32(NO_POS))
-        incl = jax.lax.cummax(jnp.where(emits, poss, jnp.int32(NO_POS)))
+        seed_chain = jnp.maximum(seed_last,
+                                 jnp.where(m0, pos0, jnp.int32(NO_POS)))
+        incl = _cummax_blocked(jnp.where(marks_b, gidx, jnp.int32(NO_POS)),
+                               jnp.int32(NO_POS))
         lastb = jnp.maximum(
             jnp.concatenate([jnp.full((1,), NO_POS, jnp.int32), incl[:-1]]),
-            seed_last)
-        diffs = jnp.where(lastb > NO_POS, poss - lastb, 0)
+            seed_chain)
+        diffs = jnp.where(lastb > NO_POS, gidx - lastb, 0)
+        diff0 = jnp.where(seed_last > NO_POS, pos0 - seed_last, 0)
 
-        rel = jnp.clip(poss - base, 0, n - 1)
-        marks = jnp.zeros((n,), jnp.float32).at[rel].add(
-            jnp.where(emits, 1.0, 0.0))
-        idx_out = jnp.zeros((n,), jnp.int32).at[rel].add(
-            jnp.where(emits, diffs, 0))
+        at0 = idx == 0
+        marks = marks_b.astype(jnp.float32) \
+            + jnp.where(at0 & m0, 1.0, 0.0)
+        idx_out = jnp.where(marks_b, diffs, 0) \
+            + jnp.where(at0 & m0, diff0, 0)
 
         rising_end = cond[-1]
-        m_last = jnp.maximum(incl[-1], seed_last)
+        m_last = jnp.maximum(incl[-1], seed_chain)
         new_state = dict(
             ave=ave[-1],
             prev=xf[-1],
