@@ -137,9 +137,16 @@ class PeakDetector(Block):
         seg_start = running_last_true(start_e, gidx, seed_start)
         in_carried = (jnp.cumsum(start_e.astype(jnp.int32)) == 0) \
             & state["rising"]
-        first_arr = jnp.where(
-            in_carried, state["first"],
-            xf[jnp.clip(seg_start - base, 0, n - 1)])
+        # first value of each segment, gather-free (a [n]-element gather
+        # runs element-at-a-time on TPU, ~7 ms/1M block): ride the value
+        # as a bitcast payload on a segmented "pick the start element"
+        # max scan
+        from grbaz_tpu.core.stream import bits_to_f32, f32_to_bits
+        _, first_bits = seg_prefix_maxpos(
+            start_e, jnp.where(start_e, 1.0, 0.0),
+            f32_to_bits(xf).astype(jnp.int32))
+        first_arr = jnp.where(in_carried, state["first"],
+                              bits_to_f32(first_bits.astype(jnp.uint32)))
 
         # segmented prefix max + first position of the max. An end
         # sample contributes -inf, so reading the prefix AT the end
