@@ -77,6 +77,37 @@ elif stage in ("chan_pallas", "chan_pallas_d"):
         return dict(tail=xs.data[-tpad:]), _osum(yf)
     init_state = lambda: dict(tail=np.zeros((tpad,), np.complex64))
     init_params = lambda: dict(inc=np.uint32(123456789))
+elif stage == "chain_casc":
+    from grbaz_tpu.models.wbfm import WBFMConfig, build_wbfm
+    cfg = WBFMConfig(block_size=block, audio_chain="cascade")
+    fg, _ = build_wbfm(cfg)
+    step = fg.build_step()
+    mk = lambda: {"iq": Stream(data=tone(block, 10e3, fs),
+                               count=jnp.int32(block),
+                               meta=StreamMeta.start(fs))}
+    def apply_fn(st, pr, xs):
+        st2, outs = step(st, pr, xs)
+        return st2, _osum(outs["audio"].data)
+    init_state = lambda: fg.init_states()
+    init_params = lambda: fg.init_params()
+elif stage == "audio_aa":
+    from grbaz_tpu.ops.fir import FIRDecimator, low_pass_taps
+    aa_n = block // 8
+    blk = FIRDecimator(low_pass_taps(1.0, fs/8, 0.45*48e3, 0.2*48e3,
+                                     window="blackmanharris"), 8,
+                       dtype=jnp.float32)
+    mk = lambda: Stream(data=ftone(aa_n, 1e3, fs/8),
+                        count=jnp.int32(aa_n),
+                        meta=StreamMeta.start(fs/8))
+    per_block_samples = block
+elif stage == "resamp_residual":
+    from grbaz_tpu.ops.resampler import FractionalResampler
+    rn = block // 64
+    blk = FractionalResampler(rn, (fs/64)/48e3, dtype=jnp.float32)
+    mk = lambda: Stream(data=ftone(rn, 1e3, fs/64),
+                        count=jnp.int32(rn),
+                        meta=StreamMeta.start(fs/64))
+    per_block_samples = block
 elif stage == "rot":
     from grbaz_tpu.ops import exact
     mk = lambda: Stream(data=tone(block, 10e3, fs), count=jnp.int32(block),
