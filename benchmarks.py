@@ -643,7 +643,10 @@ def bench_ingest():
     fg, _ = build_wbfm(cfg)
     ex = StreamExecutor(fg, {"iq": InputSpec((block,), "complex64", fs)})
 
-    rx = UDPSampleReceiver(port=0, bor=True)
+    # ring must hold a couple of blocks (default 8192 packets ~ 1.5M
+    # samples starves block sizes >= 2M)
+    rx = UDPSampleReceiver(port=0, bor=True,
+                           ring_packets=max(8192, (block * 8 * 3) // 1472))
     tx = UDPSampleSender("127.0.0.1", rx.port, bor=True)
     rng = np.random.default_rng(0)
     chunk = (0.3 * (rng.standard_normal(1 << 15)
