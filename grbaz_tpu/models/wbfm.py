@@ -174,15 +174,13 @@ class WBFMConfig:
     # vs 1220 with rotated taps — the complex-tap path's 4 matmuls cost
     # more than the full-rate oscillator saves, so False stays default.
     rotate_taps: bool = False
-    # fused front end: channelizer + squelch + FM discriminator with
-    # the Pallas kernel on TPU, the XLA rotated-taps path elsewhere.
-    # Default False: the r4 plane-separated kernel rewrite took the
-    # measured cost from 14.3 ms to 0.70 ms per 1M block (the old
-    # versions were dominated by a hidden complex64<->interleaved-f32
-    # bitcast that lowers to full-length scatters), but the plain XLA
-    # rotate-then-filter channelizer still wins at ~0.40 ms — see
-    # ops/pallas/wbfm_frontend.py's layout notes. The kernel stays
-    # available (tests cover interpret + real mode).
+    # fused front end: channelizer + squelch + FM discriminator in one
+    # block, using the v3 rotated-taps Pallas kernel on TPU. Default
+    # False — since r5 the UNFUSED path already runs the v5 x-aligned
+    # Pallas channelizer (chan_backend='auto' below, 48 us/1M block vs
+    # 327 XLA), so fusion no longer buys the chain anything; the fused
+    # block remains for squelch-in-kernel use and is fully tested
+    # (interpret + real mode).
     fused: bool = False
     # Mosaic matmul decomposition for the fused kernel: 'high' now
     # aliases lax.Precision.HIGHEST on the Pallas path (full f32-quality

@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel: frequency-translating decimating FIR.
+"""Pallas TPU kernels: frequency-translating decimating FIR.
 
 The WBFM flagship chain's hot stage (reference flowgraph
 /root/reference/samples/RTL-FM.grc: ``freq_xlating_fir_filter`` over the
@@ -6,11 +6,22 @@ full 3.2 MHz RTL stream; per-sample loop lib/baz_rtl_source_c.cc feeding
 GR's fir_filter). The XLA polyphase path in :mod:`grbaz_tpu.ops.fir`
 is numerically exact but materializes its ``[n_out, 2*n_phases]``
 partial-product matrix to HBM (~84 MB round trip per 1M-sample block on
-the WBFM shape — ~10x the useful traffic). This kernel keeps the
+the WBFM shape — ~10x the useful traffic). These kernels keep the
 partial products in VMEM: HBM sees the input once and the decimated
 output once.
 
-Hard-won layout facts baked into this design (v3 — measured on v5e):
+**r5 outcome: the v5 x-aligned kernel at the bottom of this file
+(``xlating_fir_block_pallas_xal``) is the PRODUCTION channelizer on
+TPU** (FreqXlatingFIRDecimator backend='auto'): 48 us/1M block vs
+327 us for the XLA path, driving the chain to 4168.6 Msamp/s. The
+earlier generations are kept for the record: v3 (rotated-taps,
+``xlating_fir_frame_pallas``) still backs the fused WBFMFrontend
+variant; v4 (``xlating_fir_frame_pallas_rtf``) demonstrated the
+rotate-then-filter formulation but loses ~350 us to XLA-side frame
+prep — the finding that shaped v5.
+
+Hard-won layout facts baked into these designs (v3-v5, measured on
+v5e; the r5 additions are in .claude/skills/verify/SKILL.md):
 
 * **Never bitcast complex64 to interleaved f32.** TPU XLA stores
   complex arrays as separate real/imaginary planes; the interleaved
